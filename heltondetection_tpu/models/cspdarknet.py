@@ -1,0 +1,58 @@
+"""CSPDarknet backbone (YOLOv5-v6.1 topology), rebuild target C8.
+
+Reference: HeltonDetection's YOLOv5 backbone (README.md:9, swappable backbones
+README.md:8; lineage ultralytics/yolov5 models/yolov5{s,l}.yaml). v6.1 stem is
+a 6x6/s2 conv (replacing Focus). Depth/width multiples give the s/n/m/l/x
+variants scored in the reference tables (README.md:120-154).
+
+Returns the three pyramid features C3 (stride 8), C4 (stride 16),
+C5 (stride 32, post-SPPF).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from heltondetection_tpu.models.common import (C3, SPPF, ConvBnAct, depth,
+                                               scaled)
+
+# (depth_multiple, width_multiple) per variant
+VARIANTS = {
+    "n": (0.33, 0.25),
+    "s": (0.33, 0.50),
+    "m": (0.67, 0.75),
+    "l": (1.00, 1.00),
+    "x": (1.33, 1.25),
+}
+
+
+class CSPDarknet(nn.Module):
+    depth_multiple: float = 0.33
+    width_multiple: float = 0.50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        w, d = self.width_multiple, self.depth_multiple
+        dt = self.dtype
+        # stem: 6x6 stride-2 conv, pad 2 (v6.0+)
+        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, train)
+        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, train)
+        x = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, train)
+        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(x, train)
+        c3 = C3(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, train)
+        x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, train)
+        c4 = C3(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, train)
+        x = ConvBnAct(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, train)
+        x = C3(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, train)
+        c5 = SPPF(scaled(1024, w), 5, dtype=dt, name="sppf")(x, train)
+        return c3, c4, c5
+
+
+def build_cspdarknet(variant: str = "s", dtype=jnp.float32) -> CSPDarknet:
+    d, w = VARIANTS[variant]
+    return CSPDarknet(depth_multiple=d, width_multiple=w, dtype=dtype)

@@ -1,0 +1,122 @@
+"""YOLOv5 detector: CSPDarknet ⊕ PAFPNv5 ⊕ coupled Detect head, + decode.
+
+Rebuild targets C8/C9/C10 and the dense-detector stack of SURVEY.md §3.4:
+
+    imgs[B,S,S,3] → CSPDarknet → (c3,c4,c5) → PAFPNv5 → (p3,p4,p5)
+    → Detect: per level 1x1 conv → [B, H, W, A*(5+C)]
+    → decode: xy = (2σ−0.5+grid)·stride, wh = (2σ)²·anchor, conf = σobj·σcls
+
+The decode math is the YOLOv5-v6.1 spec, which the reference demonstrably
+implements (it reproduces official Ultralytics weights' mAP through its own
+eval stack, README.md:133-135).
+
+All shapes static; decode emits one (B, N, ...) candidate tensor over all
+levels that feeds ops.nms.batched_nms on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from heltondetection_tpu.models.cspdarknet import CSPDarknet, VARIANTS
+from heltondetection_tpu.models.necks import PAFPNv5
+from heltondetection_tpu.ops.anchors import (YOLOV5_ANCHORS, YOLOV5_STRIDES,
+                                             yolo_grid)
+
+
+class YOLOv5(nn.Module):
+    num_classes: int = 80
+    depth_multiple: float = 0.33
+    width_multiple: float = 0.50
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        """Returns raw per-level maps [(B, Hl, Wl, A*(5+C)) for l in 3 levels].
+
+        Output convs run in float32 regardless of compute dtype — the loss
+        and decode are precision-sensitive (sigmoid saturation in bf16 costs
+        mAP tenths, which blows the 0.3-pt parity budget, SURVEY.md §7).
+        """
+        backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
+                              dtype=self.dtype, name="backbone")
+        neck = PAFPNv5(self.depth_multiple, self.width_multiple,
+                       dtype=self.dtype, name="neck")
+        feats = neck(backbone(x, train), train)
+        no = self.num_anchors * (5 + self.num_classes)
+        outs = []
+        for i, f in enumerate(feats):
+            y = nn.Conv(no, (1, 1), dtype=jnp.float32,
+                        name=f"detect{i}")(f.astype(jnp.float32))
+            outs.append(y)
+        return outs
+
+
+def decode_predictions(raw: Sequence[jnp.ndarray], num_classes: int,
+                       anchors=YOLOV5_ANCHORS, strides=YOLOV5_STRIDES,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Raw head maps → flat candidates.
+
+    Returns (boxes_xyxy (B,N,4), obj_conf·cls_conf scores (B,N,C) is NOT
+    materialised; instead returns (boxes, scores (B,N), classes (B,N)) using
+    best-class selection — the multi-label path used by COCO eval keeps the
+    per-class scores via :func:`decode_full`).
+    """
+    boxes, scores, classes = [], [], []
+    for lvl, p in enumerate(raw):
+        b, h, w, _ = p.shape
+        a = len(anchors[lvl])
+        p = p.reshape(b, h, w, a, 5 + num_classes)
+        stride = strides[lvl]
+        grid = yolo_grid(h, w)[None, :, :, None, :]            # (1,h,w,1,2)
+        anc = jnp.asarray(anchors[lvl], jnp.float32)[None, None, None]  # (1,1,1,a,2)
+        xy = (jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+        wh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anc
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls = jax.nn.sigmoid(p[..., 5:])
+        conf = obj[..., None] * cls                            # (b,h,w,a,C)
+        best_c = jnp.argmax(conf, axis=-1)
+        best_s = jnp.max(conf, axis=-1)
+        box = jnp.concatenate([xy - wh * 0.5, xy + wh * 0.5], axis=-1)
+        boxes.append(box.reshape(b, -1, 4))
+        scores.append(best_s.reshape(b, -1))
+        classes.append(best_c.reshape(b, -1))
+    return (jnp.concatenate(boxes, 1), jnp.concatenate(scores, 1),
+            jnp.concatenate(classes, 1).astype(jnp.int32))
+
+
+def decode_full(raw: Sequence[jnp.ndarray], num_classes: int,
+                anchors=YOLOV5_ANCHORS, strides=YOLOV5_STRIDES,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Like :func:`decode_predictions` but keeps all per-class scores:
+    returns (boxes (B,N,4), obj (B,N), cls (B,N,C)) for multi-label NMS —
+    pycocotools mAP needs per-class candidates below 0.001 conf too.
+    """
+    boxes, objs, clss = [], [], []
+    for lvl, p in enumerate(raw):
+        b, h, w, _ = p.shape
+        a = len(anchors[lvl])
+        p = p.reshape(b, h, w, a, 5 + num_classes)
+        stride = strides[lvl]
+        grid = yolo_grid(h, w)[None, :, :, None, :]
+        anc = jnp.asarray(anchors[lvl], jnp.float32)[None, None, None]
+        xy = (jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+        wh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anc
+        box = jnp.concatenate([xy - wh * 0.5, xy + wh * 0.5], axis=-1)
+        boxes.append(box.reshape(b, -1, 4))
+        objs.append(jax.nn.sigmoid(p[..., 4]).reshape(b, -1))
+        clss.append(jax.nn.sigmoid(p[..., 5:]).reshape(b, -1, num_classes))
+    return (jnp.concatenate(boxes, 1), jnp.concatenate(objs, 1),
+            jnp.concatenate(clss, 1))
+
+
+def build_yolov5(variant: str = "s", num_classes: int = 80,
+                 dtype=jnp.float32) -> YOLOv5:
+    d, w = VARIANTS[variant]
+    return YOLOv5(num_classes=num_classes, depth_multiple=d,
+                  width_multiple=w, dtype=dtype)
