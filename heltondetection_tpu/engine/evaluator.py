@@ -1,0 +1,133 @@
+"""Evaluation engine: device-side batched postprocess + host-side COCO mAP.
+
+Rebuild target C20 + the eval call stack of SURVEY.md §3.2:
+
+    for batch: forward → decode → (multi-label select) → class-aware NMS
+    → letterbox-inverse → accumulate dets → COCOeval AP50 / mAP50-95
+
+TPU-first: the entire per-batch pipeline is ONE jitted function producing
+fixed-shape (B, max_det) det arrays; only those small arrays cross to host
+(the reference copies per-image variable dets, SURVEY.md §3.2). The
+multi-label candidate selection mirrors Ultralytics val.py semantics (each
+(box, class) pair above conf_thres is a candidate) via a flat top-k over the
+(N·C) confidence matrix — fixed-shape, no boolean_mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heltondetection_tpu.ops.nms import batched_nms
+from heltondetection_tpu.utils.cocoeval import DetEval, format_summary
+
+
+def multilabel_candidates(boxes: jnp.ndarray, obj: jnp.ndarray,
+                          cls: jnp.ndarray, *, topk: int,
+                          conf_thres: float,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(N,4), (N,), (N,C) → top-k (box, score, class) pairs over all N·C.
+
+    Per-image; vmap over the batch. conf = obj·cls per pair.
+    """
+    n, c = cls.shape
+    conf = obj[:, None] * cls                        # (N, C)
+    flat = jnp.where(conf > conf_thres, conf, 0.0).reshape(-1)
+    top_s, top_i = jax.lax.top_k(flat, topk)
+    box_idx = top_i // c
+    cls_idx = (top_i % c).astype(jnp.int32)
+    return boxes[box_idx], top_s, cls_idx
+
+
+def make_postprocess(num_classes: int, *, conf_thres: float = 0.001,
+                     iou_thres: float = 0.65, pre_nms_topk: int = 1024,
+                     max_det: int = 300, multi_label: bool = True,
+                     class_aware: bool = True, use_pallas: bool = False):
+    """Build the jittable batch postprocess:
+    (boxes (B,N,4), obj (B,N), cls (B,N,C)) → dets (B,max_det,…)."""
+
+    def _one(boxes, obj, cls):
+        if multi_label:
+            cb, cs, cc = multilabel_candidates(
+                boxes, obj, cls, topk=pre_nms_topk, conf_thres=conf_thres)
+        else:
+            conf = obj[:, None] * cls
+            cs_all = jnp.max(conf, axis=-1)
+            cc_all = jnp.argmax(conf, axis=-1).astype(jnp.int32)
+            cb, cs, cc = boxes, cs_all, cc_all
+        return batched_nms(cb, cs, cc, iou_thres=iou_thres,
+                           score_thres=conf_thres,
+                           pre_nms_topk=pre_nms_topk, max_det=max_det,
+                           class_aware=class_aware, use_pallas=use_pallas)
+
+    return jax.vmap(_one)
+
+
+class Evaluator:
+    """COCO-style evaluator over a dataset iterator.
+
+    ``forward_fn(images) -> (boxes (B,N,4), obj (B,N), cls (B,N,C))`` is the
+    jitted model+decode; batches come from the data layer as dicts with
+    ``image`` (B,S,S,3 uint8/float), ``img_id``, ``scale``/``pad_x``/``pad_y``
+    (letterbox params) and ``orig_hw``.
+    """
+
+    def __init__(self, forward_fn: Callable, num_classes: int, *,
+                 conf_thres: float = 0.001, iou_thres: float = 0.65,
+                 pre_nms_topk: int = 1024, max_det: int = 300,
+                 multi_label: bool = True, use_pallas: bool = False):
+        self.num_classes = num_classes
+        post = make_postprocess(num_classes, conf_thres=conf_thres,
+                                iou_thres=iou_thres, pre_nms_topk=pre_nms_topk,
+                                max_det=max_det, multi_label=multi_label,
+                                use_pallas=use_pallas)
+
+        @jax.jit
+        def _step(images):
+            boxes, obj, cls = forward_fn(images)
+            return post(boxes, obj, cls)
+
+        self._step = _step
+
+    def run(self, batches: Iterable[Dict[str, Any]],
+            det_eval: Optional[DetEval] = None,
+            verbose: bool = False) -> Dict[str, float]:
+        ev = det_eval or DetEval(self.num_classes)
+        n_img = 0
+        t0 = time.perf_counter()
+        for batch in batches:
+            ob, os_, oc, ov = jax.device_get(self._step(batch["image"]))
+            bsz = len(batch["img_id"])
+            for i in range(bsz):
+                img_id = batch["img_id"][i]
+                if img_id is None:   # padding row of the final batch
+                    continue
+                n_img += 1
+                v = ov[i]
+                if not v.any():
+                    continue
+                b = ob[i][v]
+                # letterbox inverse on host (cheap: ≤max_det rows)
+                s = float(batch["scale"][i])
+                px, py = float(batch["pad_x"][i]), float(batch["pad_y"][i])
+                oh, ow = batch["orig_hw"][i]
+                x1 = np.clip((b[:, 0] - px) / s, 0, ow)
+                y1 = np.clip((b[:, 1] - py) / s, 0, oh)
+                x2 = np.clip((b[:, 2] - px) / s, 0, ow)
+                y2 = np.clip((b[:, 3] - py) / s, 0, oh)
+                xywh = np.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
+                ev.add_det(img_id, xywh, os_[i][v], oc[i][v])
+        dt = time.perf_counter() - t0
+        stats = ev.summarize()
+        stats["images_per_sec"] = n_img / max(dt, 1e-9)
+        stats["num_images"] = n_img
+        if verbose:
+            print(format_summary(stats))
+            print(f" images/sec (incl. host accumulate) = "
+                  f"{stats['images_per_sec']:.1f}")
+        return stats

@@ -1,0 +1,290 @@
+"""COCO-style detection mAP evaluation (bbox), pycocotools-compatible.
+
+Rebuild target C20 (SURVEY.md §2a): the reference scores every experiment with
+pycocotools COCOeval (README.md:61 "基于pycocotools提供的接口进行评估"). pycocotools is
+not installed in this image, so this module reimplements COCOeval's bbox
+branch exactly — same IoU thresholds (.5:.05:.95), 101-point interpolated
+precision, area ranges, maxDets, crowd handling (IoU vs crowd gt = intersection
+over det area), ignore propagation, and stable score sorting — so AP numbers
+are comparable to the reference tables (BASELINE.md).
+
+Host-side numpy on purpose: eval matching is tiny (≤100 dets/img) and
+inherently ragged; the device produces the fixed-shape det arrays
+(SURVEY.md §3.2) and this consumes them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """pycocotools maskUtils.iou for bbox mode: boxes are (x, y, w, h).
+
+    For crowd gt, IoU = intersection / det area (pycocotools _mask.pyx
+    bbIou 'iscrowd' branch).
+    """
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    iw = np.clip(np.minimum(dx2[:, None], gx2[None]) -
+                 np.maximum(dx1[:, None], gx1[None]), 0, None)
+    ih = np.clip(np.minimum(dy2[:, None], gy2[None]) -
+                 np.maximum(dy1[:, None], gy1[None]), 0, None)
+    inter = iw * ih
+    d_area = (dt[:, 2] * dt[:, 3])[:, None]
+    g_area = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(iscrowd[None, :].astype(bool), d_area,
+                     d_area + g_area - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+@dataclass
+class DetEval:
+    """Accumulates detections + ground truth, then computes COCO AP stats.
+
+    Usage:
+        ev = DetEval(num_classes)
+        ev.add_gt(img_id, boxes_xywh, classes, iscrowd=None, areas=None)
+        ev.add_det(img_id, boxes_xywh, scores, classes)
+        stats = ev.summarize()   # dict with AP, AP50, AP75, APs/m/l, AR...
+    """
+    num_classes: int
+    iou_thrs: np.ndarray = field(default_factory=lambda: IOU_THRS.copy())
+    _gts: Dict = field(default_factory=dict)       # (img, cat) -> list
+    _dts: Dict = field(default_factory=dict)
+    _img_ids: set = field(default_factory=set)
+    _cat_ids: set = field(default_factory=set)
+
+    def add_gt(self, img_id, boxes_xywh, classes, iscrowd=None, areas=None,
+               ignore=None):
+        boxes_xywh = np.asarray(boxes_xywh, np.float64).reshape(-1, 4)
+        classes = np.asarray(classes, np.int64).reshape(-1)
+        n = len(classes)
+        iscrowd = np.zeros(n, np.int64) if iscrowd is None else np.asarray(iscrowd, np.int64)
+        areas = (boxes_xywh[:, 2] * boxes_xywh[:, 3]) if areas is None else np.asarray(areas, np.float64)
+        ignore = np.zeros(n, np.int64) if ignore is None else np.asarray(ignore, np.int64)
+        self._img_ids.add(img_id)
+        for i in range(n):
+            key = (img_id, int(classes[i]))
+            self._gts.setdefault(key, []).append(
+                (boxes_xywh[i], int(iscrowd[i]), float(areas[i]),
+                 int(ignore[i]) or int(iscrowd[i])))
+            self._cat_ids.add(int(classes[i]))
+
+    def add_det(self, img_id, boxes_xywh, scores, classes):
+        boxes_xywh = np.asarray(boxes_xywh, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        classes = np.asarray(classes, np.int64).reshape(-1)
+        self._img_ids.add(img_id)
+        for i in range(len(scores)):
+            key = (img_id, int(classes[i]))
+            self._dts.setdefault(key, []).append((boxes_xywh[i], float(scores[i])))
+            self._cat_ids.add(int(classes[i]))
+
+    # -- core ----------------------------------------------------------------
+
+    def _evaluate_img(self, img_id, cat, area_rng, max_det):
+        """Port of COCOeval.evaluateImg for one (img, cat, area); matching is
+        run with the LARGEST maxDet like pycocotools (accumulate slices the
+        first columns for the smaller maxDets — valid because greedy matching
+        of earlier (higher-score) dets is unaffected by later dets).
+
+        Vectorized over gts per (t, d) step. Tie-breaking replicates the
+        sequential scan exactly: among equal-IoU candidates the LAST gt in
+        (non-ignored-first, stable) order wins, and ignored gts are only
+        eligible when no non-ignored gt clears the threshold.
+        """
+        gts = self._gts.get((img_id, cat), [])
+        dts = self._dts.get((img_id, cat), [])
+        if not gts and not dts:
+            return None
+        T = len(self.iou_thrs)
+
+        g_ig = np.array([1 if (g[3] or g[2] < area_rng[0] or g[2] > area_rng[1])
+                         else 0 for g in gts], np.int64)
+        gt_order = np.argsort(g_ig, kind="stable")  # non-ignored first
+        gts = [gts[i] for i in gt_order]
+        g_ig = g_ig[gt_order]
+        g_boxes = np.array([g[0] for g in gts]).reshape(-1, 4)
+        g_crowd = np.array([g[1] for g in gts], np.int64)
+
+        d_scores_all = np.array([d[1] for d in dts])
+        dt_order = np.argsort(-d_scores_all, kind="mergesort")[:max_det]
+        dts = [dts[i] for i in dt_order]
+        d_boxes = np.array([d[0] for d in dts]).reshape(-1, 4)
+        d_scores = np.array([d[1] for d in dts])
+
+        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
+
+        G, D = len(gts), len(dts)
+        dtm = np.zeros((T, D), np.int64) - 1
+        dt_ig = np.zeros((T, D), np.int64)
+        nonig = g_ig == 0
+        crowd = g_crowd == 1
+        for t in range(T):
+            thr = min(self.iou_thrs[t], 1 - 1e-10)
+            gtm_t = np.full(G, -1, np.int64)
+            for d in range(D):
+                iou_d = ious[d]
+                avail = (gtm_t < 0) | crowd
+                cand = avail & (iou_d >= thr)
+                pool = cand & nonig
+                if not pool.any():
+                    pool = cand & ~nonig
+                if not pool.any():
+                    continue
+                vals = np.where(pool, iou_d, -1.0)
+                m = int(np.flatnonzero(vals == vals.max())[-1])
+                dtm[t, d] = m
+                dt_ig[t, d] = g_ig[m]
+                gtm_t[m] = d
+        d_areas = d_boxes[:, 2] * d_boxes[:, 3] if D else np.zeros(0)
+        out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
+        dt_ig = np.logical_or(dt_ig, (dtm < 0) & out[None, :]).astype(np.int64)
+        return {
+            "dt_scores": d_scores,
+            "dt_matched": dtm >= 0,
+            "dt_ignore": dt_ig.astype(bool),
+            "num_gt": int(np.sum(g_ig == 0)),
+        }
+
+    def accumulate(self):
+        cats = sorted(self._cat_ids) if self._cat_ids else list(range(self.num_classes))
+        T = len(self.iou_thrs)
+        R = len(REC_THRS)
+        K = len(cats)
+        A = len(AREA_RNG)
+        M = len(MAX_DETS)
+        max_det_full = MAX_DETS[-1]
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+        scores_out = -np.ones((T, R, K, A, M))
+        # only (img, cat) pairs with any gt or dt contribute (pycocotools
+        # skips images absent from both)
+        keys_by_cat: Dict[int, list] = {}
+        for (img, cat) in set(self._gts) | set(self._dts):
+            keys_by_cat.setdefault(cat, []).append(img)
+        for k, cat in enumerate(cats):
+            imgs = sorted(keys_by_cat.get(cat, []), key=str)
+            for a, (aname, arng) in enumerate(AREA_RNG.items()):
+                evals = [self._evaluate_img(i, cat, arng, max_det_full)
+                         for i in imgs]
+                evals = [e for e in evals if e is not None]
+                if not evals:
+                    continue
+                for m, max_det in enumerate(MAX_DETS):
+                    dt_scores = np.concatenate(
+                        [e["dt_scores"][:max_det] for e in evals])
+                    order = np.argsort(-dt_scores, kind="mergesort")
+                    dt_scores = dt_scores[order]
+                    matched = np.concatenate(
+                        [e["dt_matched"][:, :max_det] for e in evals],
+                        axis=1)[:, order]
+                    ignored = np.concatenate(
+                        [e["dt_ignore"][:, :max_det] for e in evals],
+                        axis=1)[:, order]
+                    npig = sum(e["num_gt"] for e in evals)
+                    if npig == 0:
+                        continue
+                    tps = matched & ~ignored
+                    fps = ~matched & ~ignored
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for t in range(T):
+                        tp, fp = tp_sum[t], fp_sum[t]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / np.maximum(fp + tp, np.spacing(1))
+                        recall[t, k, a, m] = rc[-1] if nd else 0
+                        # precision envelope (monotone decreasing from right)
+                        q = np.zeros(R)
+                        ss = np.zeros(R)
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                                ss[ri] = dt_scores[pi]
+                        precision[t, :, k, a, m] = q
+                        scores_out[t, :, k, a, m] = ss
+        self._precision = precision
+        self._recall = recall
+        return precision, recall
+
+    def summarize(self) -> Dict[str, float]:
+        if not hasattr(self, "_precision"):
+            self.accumulate()
+        p = self._precision
+        r = self._recall
+        area_names = list(AREA_RNG.keys())
+
+        def ap(iou_thr=None, area="all", max_det=100):
+            a = area_names.index(area)
+            m = MAX_DETS.index(max_det)
+            s = p[:, :, :, a, m]
+            if iou_thr is not None:
+                s = s[[int(np.argwhere(np.isclose(self.iou_thrs, iou_thr))[0][0])]]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        def ar(area="all", max_det=100):
+            a = area_names.index(area)
+            m = MAX_DETS.index(max_det)
+            s = r[:, :, a, m]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        return {
+            "AP": ap(),
+            "AP50": ap(iou_thr=0.5),
+            "AP75": ap(iou_thr=0.75),
+            "AP_small": ap(area="small"),
+            "AP_medium": ap(area="medium"),
+            "AP_large": ap(area="large"),
+            "AR1": ar(max_det=1),
+            "AR10": ar(max_det=10),
+            "AR100": ar(max_det=100),
+            "AR_small": ar(area="small"),
+            "AR_medium": ar(area="medium"),
+            "AR_large": ar(area="large"),
+        }
+
+
+def format_summary(stats: Dict[str, float]) -> str:
+    """COCOeval-style printout (README.md:61 eval tables report AP50 and
+    mAP50-95 — the 'AP50' and 'AP' entries here, scaled x100)."""
+    rows = [
+        ("Average Precision  (AP) @[ IoU=0.50:0.95 | area=   all | maxDets=100 ]", "AP"),
+        ("Average Precision  (AP) @[ IoU=0.50      | area=   all | maxDets=100 ]", "AP50"),
+        ("Average Precision  (AP) @[ IoU=0.75      | area=   all | maxDets=100 ]", "AP75"),
+        ("Average Precision  (AP) @[ IoU=0.50:0.95 | area= small | maxDets=100 ]", "AP_small"),
+        ("Average Precision  (AP) @[ IoU=0.50:0.95 | area=medium | maxDets=100 ]", "AP_medium"),
+        ("Average Precision  (AP) @[ IoU=0.50:0.95 | area= large | maxDets=100 ]", "AP_large"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area=   all | maxDets=  1 ]", "AR1"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area=   all | maxDets= 10 ]", "AR10"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area=   all | maxDets=100 ]", "AR100"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area= small | maxDets=100 ]", "AR_small"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area=medium | maxDets=100 ]", "AR_medium"),
+        ("Average Recall     (AR) @[ IoU=0.50:0.95 | area= large | maxDets=100 ]", "AR_large"),
+    ]
+    return "\n".join(f" {name} = {stats[key]:0.3f}" for name, key in rows)

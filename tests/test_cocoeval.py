@@ -1,0 +1,138 @@
+"""Hand-computed oracle tests for the from-scratch COCOeval implementation.
+
+pycocotools is not installed in this environment (SURVEY.md assumed it was),
+so the reference semantics are pinned by hand-derived cases that exercise the
+101-point interpolation, IoU threshold sweep, crowd/ignore handling, area
+ranges, and maxDets slicing — the behaviors that shift mAP if wrong.
+"""
+
+import numpy as np
+import pytest
+
+from heltondetection_tpu.utils.cocoeval import DetEval, format_summary
+
+
+def test_perfect_detection():
+    ev = DetEval(num_classes=3)
+    ev.add_gt("im1", [[0, 0, 10, 10], [20, 20, 30, 30]], [0, 1])
+    ev.add_det("im1", [[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [0, 1])
+    s = ev.summarize()
+    assert abs(s["AP"] - 1.0) < 1e-6
+    assert abs(s["AP50"] - 1.0) < 1e-6
+    assert abs(s["AR100"] - 1.0) < 1e-6
+
+
+def test_iou_threshold_sweep():
+    # det IoU with gt = 0.6 → matches at thr {0.5, 0.55, 0.6} → AP = 3/10
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[0, 0, 10, 6]], [0.9], [0])
+    s = ev.summarize()
+    assert abs(s["AP"] - 0.3) < 1e-6
+    assert abs(s["AP50"] - 1.0) < 1e-6
+    assert abs(s["AP75"] - 0.0) < 1e-6
+
+
+def test_fp_halves_precision():
+    # 2 gts, 1 TP @0.9 + 1 disjoint FP @0.8 → recall 0.5 at precision 1.0
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10], [50, 50, 10, 10]], [0, 0])
+    ev.add_det("im1", [[0, 0, 10, 10], [100, 100, 5, 5]], [0.9, 0.8], [0, 0])
+    s = ev.summarize()
+    expect = 51 / 101  # precision 1.0 for recall thresholds 0.00..0.50
+    assert abs(s["AP50"] - expect) < 1e-6
+    assert abs(s["AP"] - expect) < 1e-6
+
+
+def test_score_order_matters():
+    # FP scored ABOVE the TP: raw pr curve [0, 0.5]; the monotone envelope
+    # lifts interpolated precision to 0.5 at every recall point → AP50 = 0.5
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[100, 100, 5, 5], [0, 0, 10, 10]], [0.95, 0.9], [0, 0])
+    s = ev.summarize()
+    assert abs(s["AP50"] - 0.5) < 1e-6
+    # FP scored BELOW the TP (cut off by the envelope at recall 1) → AP50 = 1
+    ev2 = DetEval(num_classes=1)
+    ev2.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev2.add_det("im1", [[0, 0, 10, 10], [100, 100, 5, 5]], [0.95, 0.9], [0, 0])
+    assert abs(ev2.summarize()["AP50"] - 1.0) < 1e-6
+
+
+def test_crowd_gt_absorbs_extra_dets():
+    # det overlapping a crowd gt is ignored (not a FP)
+    ev = DetEval(num_classes=1)
+    # det [55,55,10,10] sits fully inside the crowd region: crowd-IoU
+    # (inter/det-area) = 1.0 → ignored; normal IoU = 100/400 = 0.25 → FP
+    ev.add_gt("im1", [[0, 0, 10, 10], [50, 50, 20, 20]], [0, 0],
+              iscrowd=[0, 1])
+    ev.add_det("im1", [[0, 0, 10, 10], [55, 55, 10, 10]], [0.9, 0.8], [0, 0])
+    s = ev.summarize()
+    assert abs(s["AP"] - 1.0) < 1e-6  # crowd det ignored; single real gt TP
+
+    # same det without the crowd flag → FP → AP50 drops below 1
+    ev2 = DetEval(num_classes=1)
+    ev2.add_gt("im1", [[0, 0, 10, 10], [50, 50, 20, 20]], [0, 0])
+    ev2.add_det("im1", [[0, 0, 10, 10], [55, 55, 10, 10]], [0.9, 0.8], [0, 0])
+    s2 = ev2.summarize()
+    assert s2["AP50"] < 1.0
+
+
+def test_area_ranges():
+    # one small (16 px²) one large (128² px²) gt, both detected
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 4, 4], [100, 100, 128, 128]], [0, 0])
+    ev.add_det("im1", [[0, 0, 4, 4], [100, 100, 128, 128]], [0.9, 0.8], [0, 0])
+    s = ev.summarize()
+    assert abs(s["AP_small"] - 1.0) < 1e-6
+    assert abs(s["AP_large"] - 1.0) < 1e-6
+    assert s["AP_medium"] == -1.0  # no medium gt → excluded
+
+
+def test_maxdets_slicing():
+    # 5 gts, 5 TPs → AR1 sees only the best det → recall 0.2
+    ev = DetEval(num_classes=1)
+    boxes = [[i * 50, 0, 10, 10] for i in range(5)]
+    ev.add_gt("im1", boxes, [0] * 5)
+    ev.add_det("im1", boxes, [0.9, 0.8, 0.7, 0.6, 0.5], [0] * 5)
+    s = ev.summarize()
+    assert abs(s["AR1"] - 0.2) < 1e-6
+    assert abs(s["AR10"] - 1.0) < 1e-6
+    assert abs(s["AP"] - 1.0) < 1e-6
+
+
+def test_multi_image_multi_class_mean():
+    # class 0 perfect, class 1 all missed → mAP = mean(1, 0) = 0.5
+    ev = DetEval(num_classes=2)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    ev.add_gt("im2", [[0, 0, 10, 10]], [1])
+    s = ev.summarize()
+    assert abs(s["AP"] - 0.5) < 1e-6
+
+
+def test_duplicate_det_is_fp():
+    # two dets on one gt: second is FP (gt already matched)
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[0, 0, 10, 10], [0, 0, 10, 10]], [0.9, 0.8], [0, 0])
+    s = ev.summarize()
+    # rc=[1,1], pr=[1,0.5] → envelope keeps 1.0 at recall≤1 → AP=1
+    assert abs(s["AP"] - 1.0) < 1e-6
+
+
+def test_ignored_gt_not_counted():
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10], [50, 50, 10, 10]], [0, 0],
+              ignore=[0, 1])
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    s = ev.summarize()
+    assert abs(s["AP"] - 1.0) < 1e-6  # ignored gt doesn't hurt recall
+
+
+def test_format_summary_runs():
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    out = format_summary(ev.summarize())
+    assert "IoU=0.50:0.95" in out and "0.50:0.95" in out
