@@ -1,0 +1,62 @@
+"""Device-mesh data parallelism — the TPU-native replacement for DDP/NCCL.
+
+Rebuild target C4 / §2c of SURVEY.md: the reference's only parallelism is
+PyTorch DDP over NCCL (README.md:29 "支持pytorch DDP多GPU分布式训练"). Here the
+same semantics (identical global batch, averaged gradients) come from GSPMD:
+
+* one `Mesh(devices, ('data',))` over all chips (ICI within a slice);
+* the batch is sharded on `data`, params/opt-state replicated;
+* `jax.jit` partitions the step function and XLA inserts the gradient
+  all-reduce over ICI automatically — no process groups, no hand-written
+  collectives. Multi-host extends the same mesh via
+  `jax.distributed.initialize()` (DCN across slices).
+
+A `model` axis is left possible (mesh_shape=(dp, mp)) but unused — the
+reference has no TP/PP (SURVEY.md §2c) and detector convs don't need it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """device_put every array in the batch pytree with its leading dim
+    sharded over `data`. Leading dim must divide the mesh size."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed():
+    """Multi-host init (no-op on a single host). The reference's torchrun
+    process-group bootstrap (SURVEY.md §3.1) maps to this single call."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialised

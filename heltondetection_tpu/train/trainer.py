@@ -1,0 +1,91 @@
+"""Train engine: TrainState, jitted train step, EMA — rebuild target C3.
+
+The reference's Runner owns the epoch/step loops with AMP-optional fwd/bwd,
+AdamW, warmup+cosine, periodic eval + ckpt (README.md:13,29,61; SURVEY.md
+§3.1). TPU-first differences:
+
+* ONE pure train_step compiled once; single-chip and multi-chip share it —
+  data parallelism comes from sharding the batch over a Mesh (see
+  parallel/mesh.py), with XLA inserting the gradient all-reduce over ICI
+  (replacing DDP/NCCL, SURVEY.md §2c). BatchNorm stats average the GLOBAL
+  batch under jit — effectively free SyncBN, which the reference's DDP rows
+  (README.md:88-89) lack.
+* EMA of params (Ultralytics-style decay ramp) carried in the state.
+* bf16 compute / f32 params via the model's dtype setting; the loss is f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from heltondetection_tpu.train.yolo_loss import YoloLossConfig, yolo_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema_params: Any
+
+
+def create_train_state(model, rng, img_size: int, tx,
+                       use_ema: bool = True, batch_size: int = 2) -> TrainState:
+    x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
+    variables = model.init(rng, x, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        ema_params=params if use_ema else None,
+    )
+
+
+def ema_decay_schedule(step, base: float = 0.9999, tau: float = 2000.0):
+    """Ultralytics ModelEMA ramp: d = base * (1 - exp(-step/tau))."""
+    return base * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
+
+
+def make_train_step(model, tx, loss_cfg: YoloLossConfig,
+                    use_ema: bool = True) -> Callable:
+    """Returns jittable ``train_step(state, batch) -> (state, metrics)``.
+
+    batch: dict with ``image`` (B,S,S,3) float in [0,1], ``gt_boxes``
+    (B,M,4) cxcywh pixels, ``gt_cls`` (B,M) int, ``gt_mask`` (B,M) bool.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        loss, metrics = yolo_loss(outs, batch["gt_boxes"], batch["gt_cls"],
+                                  batch["gt_mask"], loss_cfg)
+        return loss, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if use_ema and state.ema_params is not None:
+            d = ema_decay_schedule(state.step)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params, new_params)
+        else:
+            new_ema = state.ema_params
+        new_state = TrainState(new_params, new_stats, new_opt,
+                               state.step + 1, new_ema)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,114 @@
+"""Trainer tests: overfit sanity (SURVEY.md §4 'overfit-10-images') and
+data-parallel equivalence on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from heltondetection_tpu.models.yolov5 import YOLOv5
+from heltondetection_tpu.parallel.mesh import (create_mesh, replicate,
+                                               shard_batch)
+from heltondetection_tpu.train.schedule import make_optimizer, warmup_cosine
+from heltondetection_tpu.train.trainer import (TrainState, create_train_state,
+                                               make_train_step)
+from heltondetection_tpu.train.yolo_loss import YoloLossConfig
+
+
+def _tiny_model(nc=4):
+    return YOLOv5(num_classes=nc, depth_multiple=0.33, width_multiple=0.125)
+
+
+def _synthetic_batch(bsz=2, img=64, M=8, nc=4, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 1, (bsz, img, img, 3)).astype(np.float32)
+    gt = np.zeros((bsz, M, 4), np.float32)
+    cls = np.zeros((bsz, M), np.int32)
+    mask = np.zeros((bsz, M), bool)
+    for b in range(bsz):
+        n = 2
+        for i in range(n):
+            cx, cy = rng.uniform(12, img - 12, 2)
+            w, h = rng.uniform(8, 24, 2)
+            gt[b, i] = (cx, cy, w, h)
+            cls[b, i] = rng.integers(0, nc)
+            mask[b, i] = True
+    return {"image": jnp.asarray(images), "gt_boxes": jnp.asarray(gt),
+            "gt_cls": jnp.asarray(cls), "gt_mask": jnp.asarray(mask)}
+
+
+def test_warmup_cosine_shape():
+    s = warmup_cosine(1e-3, 100, 10)
+    assert abs(float(s(0))) < 1e-9
+    assert abs(float(s(10)) - 1e-3) < 1e-5
+    assert float(s(99)) < 2.1e-4  # decays toward lrf*lr0 = 1e-4
+
+
+def test_overfit_loss_decreases():
+    nc = 4
+    model = _tiny_model(nc)
+    cfg = YoloLossConfig(num_classes=nc, img_size=64)
+    tx = make_optimizer(2e-3, total_steps=60, warmup_steps=5, grad_clip=10.0)
+    state = create_train_state(model, jax.random.PRNGKey(0), 64, tx)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    batch = _synthetic_batch()
+    first = None
+    last = None
+    for i in range(60):
+        state, metrics = step(state, batch)
+        if i == 0:
+            first = float(metrics["total"])
+        last = float(metrics["total"])
+    assert np.isfinite(last)
+    assert last < first * 0.5, (first, last)
+    assert int(state.step) == 60
+
+
+def test_ema_tracks_params():
+    nc = 4
+    model = _tiny_model(nc)
+    cfg = YoloLossConfig(num_classes=nc, img_size=64)
+    tx = make_optimizer(1e-3, total_steps=20, warmup_steps=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), 64, tx)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    batch = _synthetic_batch()
+    for _ in range(3):
+        state, _ = step(state, batch)
+    # early steps: EMA decay ≈ 0 → EMA ≈ current params
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-2)
+
+
+def test_data_parallel_8dev_matches_single():
+    """Same global batch on a 1-device and an 8-device mesh → same loss and
+    same updated params (the DDP-equivalence property, SURVEY.md §2c)."""
+    nc = 4
+    model = _tiny_model(nc)
+    cfg = YoloLossConfig(num_classes=nc, img_size=64)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1, grad_clip=None)
+    state = create_train_state(model, jax.random.PRNGKey(0), 64, tx)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    batch = _synthetic_batch(bsz=8)
+
+    # single device
+    s1, m1 = step(state, batch)
+
+    # 8-device mesh: batch sharded, state replicated
+    mesh = create_mesh(8)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    s8, m8 = step(state_r, batch_s)
+
+    assert abs(float(m1["total"]) - float(m8["total"])) < 1e-3
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+    # batch_stats must also match (global-batch BN semantics)
+    bs1 = jax.tree_util.tree_leaves(s1.batch_stats)
+    bs8 = jax.tree_util.tree_leaves(s8.batch_stats)
+    for a, b in zip(bs1, bs8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
