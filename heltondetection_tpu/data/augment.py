@@ -1,0 +1,213 @@
+"""Host-side augmentation pipeline: letterbox, mosaic-4, HSV, flip — C7.
+
+Reference augments (README.md:10 "丰富的数据增强方法"; mosaic probability is a
+per-experiment knob in every table, README.md:71-154). Improvements over the
+reference's nondeterministic cv2/np.random pipeline (SURVEY.md §4): every
+op takes an explicit ``np.random.Generator`` seeded per (epoch, index), so
+any batch is exactly reproducible.
+
+Split of labor per BASELINE.json north-star: geometry-light ops that need
+raw variable-size images (decode, mosaic compositing, letterbox resize) run
+on host; the final normalize (and optional device-side HSV/flip) are fused
+XLA ops in the jitted train step (see device_prep in loader.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def letterbox_np(img: np.ndarray, boxes: np.ndarray, dst: int,
+                 pad_value: int = 114) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Aspect-preserving resize+pad to (dst, dst). Returns (img, boxes, meta)
+    with meta = {scale, pad_x, pad_y} matching ops/letterbox.py geometry."""
+    h, w = img.shape[:2]
+    scale = min(dst / h, dst / w)
+    nw, nh = int(round(w * scale)), int(round(h * scale))
+    if (nw, nh) != (w, h):
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top = (dst - nh) // 2
+    left = (dst - nw) // 2
+    out = np.full((dst, dst, 3), pad_value, img.dtype)
+    out[top:top + nh, left:left + nw] = img
+    if len(boxes):
+        boxes = boxes * scale + np.array([left, top, left, top], np.float32)
+    return out, boxes.astype(np.float32),  {
+        "scale": scale, "pad_x": float(left), "pad_y": float(top)}
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator,
+               h_gain: float = 0.015, s_gain: float = 0.7,
+               v_gain: float = 0.4) -> np.ndarray:
+    """Ultralytics-style HSV jitter via LUTs (uint8 in, uint8 out)."""
+    r = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+    x = np.arange(256)
+    lut_h = ((x * r[0]) % 180).astype(np.uint8)
+    lut_s = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_v = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                     cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def horizontal_flip(img: np.ndarray, boxes: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    w = img.shape[1]
+    img = np.ascontiguousarray(img[:, ::-1])
+    if len(boxes):
+        boxes = boxes.copy()
+        x1 = boxes[:, 0].copy()
+        boxes[:, 0] = w - boxes[:, 2]
+        boxes[:, 2] = w - x1
+    return img, boxes
+
+
+def mosaic4(samples: Sequence[Dict], dst: int, rng: np.random.Generator,
+            pad_value: int = 114, min_box: float = 2.0
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """4-image mosaic (YOLOv5 style): random center on a 2dst canvas, each
+    quadrant filled with one resized image, then center-cropped to dst.
+
+    Returns (img (dst,dst,3), boxes_xyxy, classes). Degenerate boxes (clipped
+    below ``min_box`` px) are dropped.
+    """
+    s = dst
+    yc = int(rng.uniform(0.5 * s, 1.5 * s))
+    xc = int(rng.uniform(0.5 * s, 1.5 * s))
+    canvas = np.full((2 * s, 2 * s, 3), pad_value, np.uint8)
+    all_boxes, all_cls = [], []
+    for i, sample in enumerate(samples[:4]):
+        img = sample["image"]
+        boxes = sample["boxes"].copy()
+        h, w = img.shape[:2]
+        scale = min(s / h, s / w)  # letterbox-scale each tile
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        if (nw, nh) != (w, h):
+            img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if i == 0:   # top-left quadrant, anchored at (xc, yc)
+            x1a, y1a = max(xc - nw, 0), max(yc - nh, 0)
+            x2a, y2a = xc, yc
+        elif i == 1:  # top-right
+            x1a, y1a = xc, max(yc - nh, 0)
+            x2a, y2a = min(xc + nw, 2 * s), yc
+        elif i == 2:  # bottom-left
+            x1a, y1a = max(xc - nw, 0), yc
+            x2a, y2a = xc, min(yc + nh, 2 * s)
+        else:         # bottom-right
+            x1a, y1a = xc, yc
+            x2a, y2a = min(xc + nw, 2 * s), min(yc + nh, 2 * s)
+        # source crop matching the destination size
+        cw, ch = x2a - x1a, y2a - y1a
+        if i == 0:
+            x1b, y1b = nw - cw, nh - ch
+        elif i == 1:
+            x1b, y1b = 0, nh - ch
+        elif i == 2:
+            x1b, y1b = nw - cw, 0
+        else:
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + ch, x1b:x1b + cw]
+        if len(boxes):
+            b = boxes * scale
+            b += np.array([x1a - x1b, y1a - y1b, x1a - x1b, y1a - y1b],
+                          np.float32)
+            all_boxes.append(b)
+            all_cls.append(sample["classes"])
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0)
+        classes = np.concatenate(all_cls, 0)
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        classes = np.zeros((0,), np.int32)
+    # center crop (s/2 .. 3s/2) → final dst canvas
+    off = s // 2
+    canvas = canvas[off:off + s, off:off + s]
+    if len(boxes):
+        boxes -= off
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, s)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > min_box) & \
+               ((boxes[:, 3] - boxes[:, 1]) > min_box)
+        boxes, classes = boxes[keep], classes[keep]
+    return canvas, boxes.astype(np.float32), classes
+
+
+class TrainPipeline:
+    """Per-sample train-time augmentation: mosaic(p) → HSV → flip(0.5) →
+    letterbox (non-mosaic path) → cxcywh targets in input pixels."""
+
+    def __init__(self, dataset, img_size: int, *, mosaic_p: float = 0.5,
+                 hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
+                 seed: int = 0):
+        self.ds = dataset
+        self.img_size = img_size
+        self.mosaic_p = mosaic_p
+        self.hsv = hsv
+        self.flip_p = flip_p
+        self.max_boxes = max_boxes
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.ds)
+
+    def sample(self, idx: int, epoch: int = 0) -> Dict:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        s = self.img_size
+        if rng.uniform() < self.mosaic_p and len(self.ds) >= 4:
+            others = rng.integers(0, len(self.ds), 3)
+            samples = [self.ds.load(idx)] + [self.ds.load(int(j))
+                                             for j in others]
+            img, boxes, classes = mosaic4(samples, s, rng)
+        else:
+            raw = self.ds.load(idx)
+            img, boxes, _ = letterbox_np(raw["image"], raw["boxes"], s)
+            classes = raw["classes"]
+        if self.hsv:
+            img = random_hsv(img, rng)
+        if rng.uniform() < self.flip_p:
+            img, boxes = horizontal_flip(img, boxes)
+        # fixed-shape targets: cxcywh pixels + mask
+        m = self.max_boxes
+        gt = np.zeros((m, 4), np.float32)
+        cl = np.zeros((m,), np.int32)
+        mask = np.zeros((m,), bool)
+        n = min(len(classes), m)
+        if n:
+            b = boxes[:n]
+            gt[:n, 0] = (b[:, 0] + b[:, 2]) / 2
+            gt[:n, 1] = (b[:, 1] + b[:, 3]) / 2
+            gt[:n, 2] = b[:, 2] - b[:, 0]
+            gt[:n, 3] = b[:, 3] - b[:, 1]
+            cl[:n] = classes[:n]
+            mask[:n] = True
+        return {"image": img, "gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
+
+
+class EvalPipeline:
+    """Eval-time preprocessing: letterbox only (SURVEY.md §3.2), keeping the
+    inverse-transform metadata the evaluator needs."""
+
+    def __init__(self, dataset, img_size: int):
+        self.ds = dataset
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.ds)
+
+    def sample(self, idx: int) -> Dict:
+        raw = self.ds.load(idx)
+        img, _, meta = letterbox_np(raw["image"], np.zeros((0, 4)),
+                                    self.img_size)
+        h, w = raw["image"].shape[:2]
+        return {"image": img, "img_id": raw["img_id"], "scale": meta["scale"],
+                "pad_x": meta["pad_x"], "pad_y": meta["pad_y"],
+                "orig_hw": (h, w)}

@@ -1,0 +1,128 @@
+"""Prefetching batch loader: threads decode/augment on host, device gets
+fixed-shape HBM-resident batches — the TPU-native stand-in for the
+reference's DataLoader worker processes (SURVEY.md §3.1 hot loop: "mosaic
+decodes 4 images per sample — the CPU bottleneck the TPU build moves
+on-device"; JPEG decode + compositing stay host-side per §2b N7, the
+normalize runs fused in the jitted step via :func:`device_prep`).
+
+Deterministic: worker ordering never affects content because every sample is
+seeded by (seed, epoch, index); threads only change *when* things are
+computed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_prep(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (B,S,S,3) → float32 [0,1]; jit-inlined into the train step so
+    the 4x-smaller uint8 batch is what crosses PCIe/ICI."""
+    return images_u8.astype(jnp.float32) / 255.0
+
+
+def _stack(samples: List[Dict], keys) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in keys:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        else:
+            out[k] = [s[k] for s in samples]
+    return out
+
+
+class TrainLoader:
+    """Iterates shuffled fixed-size batches of augmented train samples.
+
+    Each epoch: deterministic shuffle by (seed, epoch); drop_last semantics
+    (static batch shape is non-negotiable under jit).
+    """
+
+    def __init__(self, pipeline, batch_size: int, *, seed: int = 0,
+                 num_workers: int = 8, prefetch: int = 4):
+        self.pipe = pipeline
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        return len(self.pipe) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, Any]]:
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+        order = rng.permutation(len(self.pipe))
+        n_batches = self.steps_per_epoch()
+        keys = ("image", "gt_boxes", "gt_cls", "gt_mask")
+
+        def make_batch(bi: int) -> Dict[str, Any]:
+            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            samples = [self.pipe.sample(int(i), epoch) for i in idxs]
+            batch = _stack(samples, keys)
+            return batch
+
+        if self.num_workers <= 1:
+            for bi in range(n_batches):
+                yield make_batch(bi)
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            futures = [pool.submit(make_batch, bi)
+                       for bi in range(min(self.prefetch, n_batches))]
+            next_submit = len(futures)
+            for _ in range(n_batches):
+                fut = futures.pop(0)
+                if next_submit < n_batches:
+                    futures.append(pool.submit(make_batch, next_submit))
+                    next_submit += 1
+                yield fut.result()
+
+
+class EvalLoader:
+    """Fixed-shape eval batches; the final short batch is padded with
+    ``img_id=None`` rows the evaluator skips (SURVEY.md §7 static shapes)."""
+
+    def __init__(self, pipeline, batch_size: int, *, num_workers: int = 8,
+                 prefetch: int = 4):
+        self.pipe = pipeline
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        n = len(self.pipe)
+        bs = self.batch_size
+        n_batches = (n + bs - 1) // bs
+        keys = ("image", "img_id", "scale", "pad_x", "pad_y", "orig_hw")
+
+        def make_batch(bi: int) -> Dict[str, Any]:
+            idxs = list(range(bi * bs, min((bi + 1) * bs, n)))
+            samples = [self.pipe.sample(i) for i in idxs]
+            while len(samples) < bs:  # pad the tail batch
+                pad = dict(samples[-1])
+                pad["img_id"] = None
+                samples.append(pad)
+            return _stack(samples, keys)
+
+        if self.num_workers <= 1:
+            for bi in range(n_batches):
+                yield make_batch(bi)
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            futures = [pool.submit(make_batch, bi)
+                       for bi in range(min(self.prefetch, n_batches))]
+            next_submit = len(futures)
+            for _ in range(n_batches):
+                fut = futures.pop(0)
+                if next_submit < n_batches:
+                    futures.append(pool.submit(make_batch, next_submit))
+                    next_submit += 1
+                yield fut.result()

@@ -1,0 +1,237 @@
+"""Dataset readers: COCO-JSON, YOLO-txt, DOTA horizontal-box — rebuild
+targets C5 / C6 / C6b (SURVEY.md §2a; README.md:10 "支持COCO, YOLO, DOTA标注格式
+数据集读取").
+
+Host-side and framework-free: each reader maps an index → a raw sample dict
+``{image (H,W,3 uint8 RGB), boxes_xyxy (N,4) float32, classes (N,) int32,
+iscrowd (N,), img_id, file}``. The augmentation pipeline + loader turn these
+into fixed-shape device batches. Unlike the reference, the YOLO-format
+*eval* path is implemented (the reference left it "eval未实现", README.md:10
+— noted as a deliberate capability extension).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class COCODataset:
+    """COCO-JSON detection reader (C5). Category ids are remapped to a
+    contiguous [0, num_classes) label space; the inverse map is kept for
+    emitting COCO-format detections at eval."""
+
+    def __init__(self, ann_file: str, img_dir: str,
+                 keep_empty: bool = True):
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.img_dir = img_dir
+        cats = sorted(coco["categories"], key=lambda c: c["id"])
+        self.cat_ids = [c["id"] for c in cats]
+        self.class_names = [c["name"] for c in cats]
+        self.cat_to_label = {cid: i for i, cid in enumerate(self.cat_ids)}
+        self.label_to_cat = {i: cid for i, cid in enumerate(self.cat_ids)}
+
+        self.images = {im["id"]: im for im in coco["images"]}
+        anns_by_img: Dict = {i: [] for i in self.images}
+        for a in coco.get("annotations", []):
+            if a.get("ignore", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        self.ids = [i for i in self.images
+                    if keep_empty or anns_by_img.get(i)]
+        self.anns_by_img = anns_by_img
+
+    def __len__(self):
+        return len(self.ids)
+
+    @property
+    def num_classes(self):
+        return len(self.cat_ids)
+
+    def meta(self, idx: int) -> Dict:
+        im = self.images[self.ids[idx]]
+        return {"img_id": im["id"], "height": im["height"],
+                "width": im["width"], "file": im["file_name"]}
+
+    def load(self, idx: int) -> Dict:
+        img_id = self.ids[idx]
+        im = self.images[img_id]
+        img = imread_rgb(os.path.join(self.img_dir, im["file_name"]))
+        boxes, classes, crowd = [], [], []
+        for a in self.anns_by_img.get(img_id, []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_to_label[a["category_id"]])
+            crowd.append(a.get("iscrowd", 0))
+        return {
+            "image": img,
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "iscrowd": np.asarray(crowd, np.int32),
+            "img_id": img_id,
+            "file": im["file_name"],
+        }
+
+    def gt_for_eval(self, det_eval):
+        """Register all ground truth (xywh + crowd flags) with a DetEval."""
+        for idx in range(len(self)):
+            img_id = self.ids[idx]
+            boxes, classes, crowd, areas = [], [], [], []
+            for a in self.anns_by_img.get(img_id, []):
+                x, y, w, h = a["bbox"]
+                boxes.append([x, y, w, h])
+                classes.append(self.cat_to_label[a["category_id"]])
+                crowd.append(a.get("iscrowd", 0))
+                areas.append(a.get("area", w * h))
+            if boxes:
+                det_eval.add_gt(img_id, boxes, classes, iscrowd=crowd,
+                                areas=areas)
+
+
+class YOLODataset:
+    """YOLO-txt reader (C6): per-image ``.txt`` with lines
+    ``cls cx cy w h`` normalized to [0,1]; images under ``img_dir``,
+    labels under ``label_dir`` with the same stem."""
+
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(self, img_dir: str, label_dir: str,
+                 class_names: Optional[Sequence[str]] = None):
+        self.img_dir = img_dir
+        self.label_dir = label_dir
+        self.files = sorted(
+            f for f in os.listdir(img_dir)
+            if os.path.splitext(f)[1].lower() in self.IMG_EXTS)
+        self.class_names = list(class_names) if class_names else None
+        self.label_to_cat = None  # labels are already contiguous
+
+    def __len__(self):
+        return len(self.files)
+
+    @property
+    def num_classes(self):
+        return len(self.class_names) if self.class_names else 0
+
+    def load(self, idx: int) -> Dict:
+        fname = self.files[idx]
+        img = imread_rgb(os.path.join(self.img_dir, fname))
+        h, w = img.shape[:2]
+        stem = os.path.splitext(fname)[0]
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        boxes, classes = [], []
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) < 5:
+                        continue
+                    c, cx, cy, bw, bh = (float(v) for v in parts[:5])
+                    cx, cy, bw, bh = cx * w, cy * h, bw * w, bh * h
+                    boxes.append([cx - bw / 2, cy - bh / 2,
+                                  cx + bw / 2, cy + bh / 2])
+                    classes.append(int(c))
+        n = len(boxes)
+        return {
+            "image": img,
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "iscrowd": np.zeros(n, np.int32),
+            "img_id": stem,
+            "file": fname,
+        }
+
+    def gt_for_eval(self, det_eval):
+        """YOLO-format eval support — implemented here even though the
+        reference left it unimplemented (README.md:10 'eval未实现')."""
+        for idx in range(len(self)):
+            s = self.load(idx)
+            if len(s["classes"]):
+                b = s["boxes"]
+                xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
+                                 b[:, 3] - b[:, 1]], 1)
+                det_eval.add_gt(s["img_id"], xywh, s["classes"])
+
+
+class DOTADataset:
+    """DOTA horizontal-box reader (C6b): per-image ``.txt`` where each line is
+    ``x1 y1 x2 y2 x3 y3 x4 y4 category difficult``; the rotated quad is
+    collapsed to its axis-aligned hull (the reference benchmarks DOTAv1.0-h —
+    horizontal boxes, README.md:33,149-154; true rotated support migrated to
+    its HeltonRotation successor and is out of scope)."""
+
+    def __init__(self, img_dir: str, label_dir: str,
+                 class_names: Sequence[str]):
+        self.img_dir = img_dir
+        self.label_dir = label_dir
+        self.class_names = list(class_names)
+        self.name_to_label = {n: i for i, n in enumerate(self.class_names)}
+        self.files = sorted(
+            f for f in os.listdir(img_dir)
+            if os.path.splitext(f)[1].lower() in YOLODataset.IMG_EXTS)
+        self.label_to_cat = None
+
+    def __len__(self):
+        return len(self.files)
+
+    @property
+    def num_classes(self):
+        return len(self.class_names)
+
+    def load(self, idx: int) -> Dict:
+        fname = self.files[idx]
+        img = imread_rgb(os.path.join(self.img_dir, fname))
+        stem = os.path.splitext(fname)[0]
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        boxes, classes = [], []
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) < 9 or parts[0].startswith(("imagesource",
+                                                              "gsd")):
+                        continue
+                    quad = np.asarray([float(v) for v in parts[:8]],
+                                      np.float32).reshape(4, 2)
+                    name = parts[8]
+                    if name not in self.name_to_label:
+                        continue
+                    x1, y1 = quad.min(0)
+                    x2, y2 = quad.max(0)
+                    boxes.append([x1, y1, x2, y2])
+                    classes.append(self.name_to_label[name])
+        n = len(boxes)
+        return {
+            "image": img,
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "iscrowd": np.zeros(n, np.int32),
+            "img_id": stem,
+            "file": fname,
+        }
+
+    def gt_for_eval(self, det_eval):
+        for idx in range(len(self)):
+            s = self.load(idx)
+            if len(s["classes"]):
+                b = s["boxes"]
+                xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
+                                 b[:, 3] - b[:, 1]], 1)
+                det_eval.add_gt(s["img_id"], xywh, s["classes"])

@@ -1,0 +1,109 @@
+"""Synthetic dataset builder for tests: colored-rectangle 'objects' on noise
+backgrounds, emitted in COCO / YOLO / DOTA formats. Boxes are visually
+learnable (solid bright rectangles), enabling overfit-style integration
+tests without real data."""
+
+import json
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:
+    cv2 = None
+
+CLASS_COLORS = [(255, 40, 40), (40, 255, 40), (40, 40, 255), (255, 255, 40)]
+
+
+def make_image_with_boxes(rng, h, w, max_objects=4, num_classes=4):
+    img = rng.integers(90, 130, (h, w, 3)).astype(np.uint8)
+    n = int(rng.integers(1, max_objects + 1))
+    boxes, classes = [], []
+    for _ in range(n):
+        bw = int(rng.integers(max(8, w // 10), w // 3))
+        bh = int(rng.integers(max(8, h // 10), h // 3))
+        x1 = int(rng.integers(0, w - bw))
+        y1 = int(rng.integers(0, h - bh))
+        c = int(rng.integers(0, num_classes))
+        img[y1:y1 + bh, x1:x1 + bw] = CLASS_COLORS[c]
+        boxes.append([x1, y1, bw, bh])  # xywh
+        classes.append(c)
+    return img, boxes, classes
+
+
+def build_coco_dataset(root, n_images=8, hw=(96, 128), num_classes=4, seed=0):
+    """Write images + COCO json under root; returns (ann_file, img_dir)."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        h, w = hw
+        img, boxes, classes = make_image_with_boxes(rng, h, w,
+                                                    num_classes=num_classes)
+        fname = f"img_{i:04d}.png"
+        cv2.imwrite(os.path.join(img_dir, fname),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        images.append({"id": i + 1, "file_name": fname,
+                       "height": h, "width": w})
+        for b, c in zip(boxes, classes):
+            annotations.append({
+                "id": ann_id, "image_id": i + 1,
+                "category_id": c + 10,  # non-contiguous on purpose
+                "bbox": [float(v) for v in b],
+                "area": float(b[2] * b[3]), "iscrowd": 0,
+            })
+            ann_id += 1
+    categories = [{"id": c + 10, "name": f"class{c}"}
+                  for c in range(num_classes)]
+    ann_file = os.path.join(root, "ann.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
+    return ann_file, img_dir
+
+
+def build_yolo_dataset(root, n_images=4, hw=(96, 128), num_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    for i in range(n_images):
+        h, w = hw
+        img, boxes, classes = make_image_with_boxes(rng, h, w,
+                                                    num_classes=num_classes)
+        stem = f"img_{i:04d}"
+        cv2.imwrite(os.path.join(img_dir, stem + ".png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        with open(os.path.join(lbl_dir, stem + ".txt"), "w") as f:
+            for b, c in zip(boxes, classes):
+                cx, cy = (b[0] + b[2] / 2) / w, (b[1] + b[3] / 2) / h
+                f.write(f"{c} {cx} {cy} {b[2] / w} {b[3] / h}\n")
+    return img_dir, lbl_dir
+
+
+def build_dota_dataset(root, n_images=3, hw=(96, 128), num_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labelTxt")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    names = [f"class{c}" for c in range(num_classes)]
+    for i in range(n_images):
+        h, w = hw
+        img, boxes, classes = make_image_with_boxes(rng, h, w,
+                                                    num_classes=num_classes)
+        stem = f"P{i:04d}"
+        cv2.imwrite(os.path.join(img_dir, stem + ".png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        with open(os.path.join(lbl_dir, stem + ".txt"), "w") as f:
+            f.write("imagesource:synthetic\ngsd:1.0\n")
+            for b, c in zip(boxes, classes):
+                x1, y1, bw, bh = b
+                x2, y2 = x1 + bw, y1 + bh
+                f.write(f"{x1} {y1} {x2} {y1} {x2} {y2} {x1} {y2} "
+                        f"{names[c]} 0\n")
+    return img_dir, lbl_dir, names

@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+from heltondetection_tpu.data.augment import (EvalPipeline, TrainPipeline,
+                                              horizontal_flip, letterbox_np,
+                                              mosaic4, random_hsv)
+from heltondetection_tpu.data.loader import EvalLoader, TrainLoader
+from heltondetection_tpu.data.readers import (COCODataset, DOTADataset,
+                                              YOLODataset)
+from synth_data import (build_coco_dataset, build_dota_dataset,
+                        build_yolo_dataset)
+
+
+@pytest.fixture(scope="module")
+def coco_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    ann, imgs = build_coco_dataset(str(root), n_images=8)
+    return COCODataset(ann, imgs)
+
+
+def test_coco_reader(coco_ds):
+    assert len(coco_ds) == 8
+    assert coco_ds.num_classes == 4
+    s = coco_ds.load(0)
+    assert s["image"].shape == (96, 128, 3)
+    assert s["boxes"].shape[1] == 4
+    assert len(s["boxes"]) == len(s["classes"])
+    # category remap: ids 10..13 → 0..3
+    assert set(coco_ds.cat_to_label.values()) <= {0, 1, 2, 3}
+    assert coco_ds.label_to_cat[0] == 10
+
+
+def test_yolo_reader(tmp_path):
+    img_dir, lbl_dir = build_yolo_dataset(str(tmp_path))
+    ds = YOLODataset(img_dir, lbl_dir, [f"class{i}" for i in range(4)])
+    assert len(ds) == 4
+    s = ds.load(0)
+    assert len(s["boxes"]) >= 1
+    # boxes within image bounds
+    assert (s["boxes"][:, [0, 2]] <= 128 + 1e-3).all()
+    assert (s["boxes"][:, [1, 3]] <= 96 + 1e-3).all()
+
+
+def test_dota_reader(tmp_path):
+    img_dir, lbl_dir, names = build_dota_dataset(str(tmp_path))
+    ds = DOTADataset(img_dir, lbl_dir, names)
+    assert len(ds) == 3
+    s = ds.load(0)
+    assert len(s["boxes"]) >= 1
+    assert (s["boxes"][:, 2] > s["boxes"][:, 0]).all()
+
+
+def test_yolo_vs_coco_same_content(tmp_path):
+    """Same seed → YOLO reader and COCO reader yield identical boxes."""
+    ann, imgs = build_coco_dataset(str(tmp_path / "c"), n_images=4, seed=7)
+    img_dir, lbl_dir = build_yolo_dataset(str(tmp_path / "y"), n_images=4,
+                                          seed=7)
+    c = COCODataset(ann, imgs)
+    y = YOLODataset(img_dir, lbl_dir, [f"class{i}" for i in range(4)])
+    sc, sy = c.load(0), y.load(0)
+    np.testing.assert_allclose(np.sort(sc["boxes"], 0),
+                               np.sort(sy["boxes"], 0), atol=0.51)
+
+
+def test_letterbox_np_geometry():
+    img = np.zeros((96, 128, 3), np.uint8)
+    boxes = np.array([[10, 10, 50, 60]], np.float32)
+    out, b, meta = letterbox_np(img, boxes, 64)
+    assert out.shape == (64, 64, 3)
+    assert abs(meta["scale"] - 0.5) < 1e-6
+    assert meta["pad_y"] == 8.0 and meta["pad_x"] == 0.0
+    np.testing.assert_allclose(b[0], [5, 13, 25, 38], atol=1e-4)
+
+
+def test_flip_involution():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    boxes = np.array([[5, 5, 20, 25]], np.float32)
+    i2, b2 = horizontal_flip(img, boxes)
+    i3, b3 = horizontal_flip(i2, b2)
+    np.testing.assert_array_equal(i3, img)
+    np.testing.assert_allclose(b3, boxes)
+
+
+def test_hsv_preserves_shape_dtype():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    out = random_hsv(img, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_mosaic_boxes_in_bounds(coco_ds):
+    rng = np.random.default_rng(3)
+    samples = [coco_ds.load(i) for i in range(4)]
+    img, boxes, classes = mosaic4(samples, 128, rng)
+    assert img.shape == (128, 128, 3)
+    assert len(boxes) == len(classes)
+    if len(boxes):
+        assert (boxes >= 0).all() and (boxes <= 128).all()
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+
+
+def test_train_pipeline_deterministic(coco_ds):
+    pipe = TrainPipeline(coco_ds, 64, mosaic_p=1.0, seed=42)
+    a = pipe.sample(0, epoch=3)
+    b = pipe.sample(0, epoch=3)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+    c = pipe.sample(0, epoch=4)
+    assert not np.array_equal(a["image"], c["image"])  # epoch changes aug
+
+
+def test_train_loader_shapes_and_determinism(coco_ds):
+    pipe = TrainPipeline(coco_ds, 64, mosaic_p=0.5, max_boxes=32, seed=1)
+    loader = TrainLoader(pipe, batch_size=4, seed=1, num_workers=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0["image"].shape == (4, 64, 64, 3)
+    assert b0["gt_boxes"].shape == (4, 32, 4)
+    assert b0["gt_mask"].dtype == bool
+    # threads don't change content
+    loader1 = TrainLoader(pipe, batch_size=4, seed=1, num_workers=1)
+    batches1 = list(loader1.epoch(0))
+    np.testing.assert_array_equal(batches[0]["image"], batches1[0]["image"])
+    np.testing.assert_array_equal(batches[1]["gt_boxes"],
+                                  batches1[1]["gt_boxes"])
+
+
+def test_eval_loader_pads_tail(coco_ds):
+    pipe = EvalPipeline(coco_ds, 64)
+    loader = EvalLoader(pipe, batch_size=3, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    tail = batches[-1]
+    assert tail["image"].shape == (3, 64, 64, 3)
+    assert tail["img_id"][-1] is None  # padding marker
+    real = [i for b in batches for i in b["img_id"] if i is not None]
+    assert len(real) == 8 and len(set(real)) == 8
