@@ -64,6 +64,41 @@ def nms_mask_jnp(boxes: jnp.ndarray, scores: jnp.ndarray,
     return keep
 
 
+def nms_mask_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      iou_thres: float) -> jnp.ndarray:
+    """Greedy NMS keep mask via fixpoint iteration — EXACT greedy semantics,
+    latency-optimal on TPU.
+
+    The sequential scan is f(K)[j] = ¬∃i<j: K[i] ∧ iou(i,j)>thr applied
+    left-to-right. Because the (ordered) suppression relation is a DAG,
+    iterating K ← f(K) from K=1 converges to the unique greedy fixpoint in
+    ≤ suppression-chain-depth steps (typically < 10 for detector outputs),
+    and each step is one (N,N)·(N,) masked matvec that XLA maps onto the
+    MXU — versus N sequential scalar steps for the scan. Exactness is
+    pinned by tests against :func:`nms_mask_jnp` on random data.
+    """
+    del scores
+    n = boxes.shape[0]
+    iou = box_iou_matrix(boxes, boxes)
+    col = jnp.arange(n)
+    sup_mat = ((iou > iou_thres) & (col[None, :] > col[:, None])
+               ).astype(jnp.float32)                       # S[i,j]: i sup j
+
+    def cond(carry):
+        k_prev, k, it = carry
+        return jnp.logical_and(it < n, jnp.any(k_prev != k))
+
+    def body(carry):
+        _, k, it = carry
+        suppressed = (k @ sup_mat) > 0.5                   # (N,)
+        k_new = jnp.where(suppressed, 0.0, 1.0)
+        return k, k_new, it + 1
+
+    ones = jnp.ones((n,), jnp.float32)
+    _, k, _ = jax.lax.while_loop(cond, body, (jnp.zeros((n,)), ones, 0))
+    return k > 0.5
+
+
 # ---------------------------------------------------------------------------
 # greedy keep-mask: Pallas kernel
 # ---------------------------------------------------------------------------
@@ -136,6 +171,7 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 max_det: int = 300,
                 class_aware: bool = True,
                 use_pallas: bool = False,
+                method: str = "fixpoint",
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full fixed-shape postprocess for ONE image.
 
@@ -168,6 +204,8 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         if pad:
             nms_boxes = jnp.pad(nms_boxes, ((0, pad), (0, 0)))
         keep = nms_mask_pallas(nms_boxes, None, iou_thres=iou_thres)[:k]
+    elif method == "fixpoint":
+        keep = nms_mask_fixpoint(nms_boxes, None, iou_thres)
     else:
         keep = nms_mask_jnp(nms_boxes, None, iou_thres)
     keep = keep & valid

@@ -62,6 +62,32 @@ def test_nms_mask_matches_torchvision():
         assert ours == ref
 
 
+def test_nms_fixpoint_matches_sequential():
+    """The MXU fixpoint NMS must be bit-identical to the sequential greedy
+    scan — on dense random boxes (long suppression chains) and sparse ones."""
+    for seed in range(6):
+        n = 256
+        boxes, scores = _rand_boxes(n, seed=seed, size=200 if seed % 2 else 2000)
+        order = np.argsort(-scores, kind="stable")
+        sb = jnp.asarray(boxes[order])
+        seq = np.asarray(N.nms_mask_jnp(sb, None, 0.5))
+        fix = np.asarray(N.nms_mask_fixpoint(sb, None, 0.5))
+        np.testing.assert_array_equal(fix, seq)
+
+
+def test_nms_fixpoint_under_vmap():
+    bs = []
+    for seed in range(4):
+        boxes, scores = _rand_boxes(128, seed=seed, size=300)
+        order = np.argsort(-scores, kind="stable")
+        bs.append(boxes[order])
+    batch = jnp.asarray(np.stack(bs))
+    got = np.asarray(jax.vmap(lambda b: N.nms_mask_fixpoint(b, None, 0.5))(batch))
+    for i in range(4):
+        expect = np.asarray(N.nms_mask_jnp(batch[i], None, 0.5))
+        np.testing.assert_array_equal(got[i], expect)
+
+
 def test_nms_pallas_matches_jnp_interpret():
     from jax.experimental.pallas import tpu as pltpu
     boxes, scores = _rand_boxes(128, seed=3)
