@@ -1,0 +1,109 @@
+"""Config system — rebuild target C2 (README.md:12 "支持config文件配置模型、训练、评估、
+测试超参"): one dataclass per experiment, loaded by path via the CLI. Fields
+mirror the reference's experiment-table columns (model / mosaic p / lr /
+epochs / bs / img size, README.md:71-154) plus the knobs its ablations used
+(focal-loss variants, DropBlock, frozen backbone, decoupled head, RoIPool).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    format: str = "coco"              # coco | yolo | dota
+    train_ann: str = ""               # coco: json; yolo/dota: label dir
+    train_imgs: str = ""
+    val_ann: str = ""
+    val_imgs: str = ""
+    class_names: Optional[Sequence[str]] = None
+    max_boxes: int = 128
+
+
+@dataclass
+class ModelConfig:
+    family: str = "yolov5"            # yolov5 | faster_rcnn
+    variant: str = "s"                # yolov5: n/s/m/l/x
+    num_classes: int = 80
+    img_size: int = 640
+    dtype: str = "float32"            # float32 | bfloat16 (compute dtype)
+    # faster_rcnn options (README.md:65,73-76 ablations)
+    neck: str = "fpn"                 # fpn | pafpn_v8
+    head: str = "coupled"             # coupled | decoupled
+    roi_method: str = "align"         # align | pool
+    freeze_backbone: bool = False     # README.md:132
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 48
+    batch_size: int = 16
+    lr: float = 1e-3                  # adamw (README.md tables)
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    final_lr_frac: float = 0.1
+    grad_clip: Optional[float] = 10.0
+    mosaic_p: float = 0.5
+    hsv: bool = True
+    flip_p: float = 0.5
+    ema: bool = True
+    focal: str = "none"               # none | root | root_cls (README.md:117)
+    label_smoothing: float = 0.0
+    seed: int = 0
+    num_workers: int = 8
+    eval_interval: int = 10           # epochs between val evals
+    ckpt_interval: int = 5
+    pretrain_ckpt: Optional[str] = None   # transfer init (README.md:79)
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 16
+    conf_thres: float = 0.001
+    iou_thres: float = 0.65
+    max_det: int = 300
+    multi_label: bool = True
+
+
+@dataclass
+class TestConfig:
+    conf_thres: float = 0.25
+    iou_thres: float = 0.45
+    tta: bool = False                 # README.md:19
+    tta_scales: Tuple[float, ...] = (1.0, 0.83)
+    save_heatmaps: bool = False       # demo-style per-level panels
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "experiment"
+    work_dir: str = "runs"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, self.name, "ckpt")
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.work_dir, self.name, "logs")
+
+
+def load_config(path: str) -> ExperimentConfig:
+    """Load ``config`` (an ExperimentConfig) from a python file — the
+    reference's one-config-per-experiment pattern."""
+    spec = importlib.util.spec_from_file_location("exp_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = getattr(mod, "config")
+    assert isinstance(cfg, ExperimentConfig), type(cfg)
+    return cfg

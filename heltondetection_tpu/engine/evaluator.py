@@ -48,10 +48,17 @@ def multilabel_candidates(boxes: jnp.ndarray, obj: jnp.ndarray,
     sel_boxes = boxes[box_i]                         # (k1, 4)
     conf = obj[box_i, None] * cls[box_i]             # (k1, C)
     flat = jnp.where(conf > conf_thres, conf, 0.0).reshape(-1)
-    top_s, top_i = jax.lax.top_k(flat, topk)
+    k2 = min(topk, k1 * c)                           # tiny models: N·C < topk
+    top_s, top_i = jax.lax.top_k(flat, k2)
     box_idx = top_i // c
     cls_idx = (top_i % c).astype(jnp.int32)
-    return sel_boxes[box_idx], top_s, cls_idx
+    out_b, out_s, out_c = sel_boxes[box_idx], top_s, cls_idx
+    if k2 < topk:
+        pad = topk - k2
+        out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+        out_s = jnp.pad(out_s, (0, pad))
+        out_c = jnp.pad(out_c, (0, pad), constant_values=-1)
+    return out_b, out_s, out_c
 
 
 def make_postprocess(num_classes: int, *, conf_thres: float = 0.001,

@@ -1,0 +1,160 @@
+"""Inference engine — rebuild targets C21 (image/video) + C19 (TTA+WBF).
+
+SURVEY.md §3.3 call stack: image → letterbox → fwd → decode → NMS → draw
+(+ optional per-level heatmaps); video = frame loop over the same path
+(cv2 VideoCapture/VideoWriter host-side, detection fully on device);
+TTA = horizontal-flip + multi-scale views fused with WBF on device
+(README.md:15,19).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heltondetection_tpu.data.augment import letterbox_np
+from heltondetection_tpu.engine.evaluator import make_postprocess
+from heltondetection_tpu.ops.wbf import weighted_boxes_fusion
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class Detector:
+    """High-level single/batch-image detector wrapping a jitted
+    forward+decode+NMS. ``forward_fn(images (B,S,S,3) float[0,1]) →
+    (boxes, obj, cls)`` like the evaluator contract."""
+
+    def __init__(self, forward_fn: Callable, num_classes: int, img_size: int,
+                 *, conf_thres: float = 0.25, iou_thres: float = 0.45,
+                 max_det: int = 300, tta: bool = False,
+                 tta_scales: Sequence[float] = (1.0, 0.83),
+                 wbf_iou: float = 0.55):
+        self.num_classes = num_classes
+        self.img_size = img_size
+        self.tta = tta
+        self.tta_scales = tta_scales
+        post = make_postprocess(num_classes, conf_thres=conf_thres,
+                                iou_thres=iou_thres, max_det=max_det,
+                                multi_label=False)
+
+        @jax.jit
+        def _detect(images):
+            boxes, obj, cls = forward_fn(images)
+            return post(boxes, obj, cls)
+
+        self._detect = _detect
+        n_views = (1 + len(tta_scales)) if tta else 1  # flip + scales
+        self._n_views = n_views
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _fuse(boxes, scores, classes, valid):
+            return weighted_boxes_fusion(boxes, scores, classes, valid,
+                                         n_views=n_views,
+                                         iou_thres=wbf_iou, max_out=max_det)
+
+        self._fuse = _fuse
+
+    # -- core ---------------------------------------------------------------
+
+    def detect_image(self, img_rgb: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One RGB image (any size) → (boxes_xyxy in source coords, scores,
+        classes) as numpy, TTA-fused when enabled."""
+        s = self.img_size
+        lb, _, meta = letterbox_np(img_rgb, np.zeros((0, 4), np.float32), s)
+        x = jnp.asarray(lb, jnp.float32)[None] / 255.0
+
+        if not self.tta:
+            ob, os_, oc, ov = jax.device_get(self._detect(x))
+            return self._to_source(ob[0], os_[0], oc[0], ov[0], meta,
+                                   img_rgb.shape[:2])
+
+        views_b, views_s, views_c, views_v = [], [], [], []
+        # view 1: identity; view 2: hflip; views 3+: scales
+        ob, os_, oc, ov = self._detect(x)
+        views_b.append(ob[0]); views_s.append(os_[0])
+        views_c.append(oc[0]); views_v.append(ov[0])
+        xf = x[:, :, ::-1, :]
+        ob, os_, oc, ov = self._detect(xf)
+        fb = ob[0]
+        fb = jnp.stack([s - fb[:, 2], fb[:, 1], s - fb[:, 0], fb[:, 3]], 1)
+        views_b.append(fb); views_s.append(os_[0])
+        views_c.append(oc[0]); views_v.append(ov[0])
+        for sc in self.tta_scales[1:]:
+            ns = int(round(s * sc / 32)) * 32
+            lb2, _, meta2 = letterbox_np(img_rgb, np.zeros((0, 4)), ns)
+            x2 = jnp.asarray(lb2, jnp.float32)[None] / 255.0
+            # jit retraces per input shape; each TTA scale compiles once
+            ob, os_, oc, ov = self._detect(x2)
+            # map view-2 coords back into view-1 letterbox coords
+            b2 = np.asarray(ob[0])
+            b2 = (b2 - [meta2["pad_x"], meta2["pad_y"]] * 2) / meta2["scale"]
+            b2 = b2 * meta["scale"] + [meta["pad_x"], meta["pad_y"]] * 2
+            views_b.append(jnp.asarray(b2, jnp.float32))
+            views_s.append(os_[0]); views_c.append(oc[0])
+            views_v.append(ov[0])
+        fb, fs, fc, fv = self._fuse(jnp.concatenate(views_b, 0),
+                                    jnp.concatenate(views_s, 0),
+                                    jnp.concatenate(views_c, 0),
+                                    jnp.concatenate(views_v, 0))
+        fb, fs, fc, fv = jax.device_get((fb, fs, fc, fv))
+        return self._to_source(fb, fs, fc, fv, meta, img_rgb.shape[:2])
+
+    def _to_source(self, boxes, scores, classes, valid, meta, hw):
+        v = np.asarray(valid).astype(bool)
+        b = np.asarray(boxes)[v]
+        b = (b - [meta["pad_x"], meta["pad_y"]] * 2) / meta["scale"]
+        h, w = hw
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+        return b, np.asarray(scores)[v], np.asarray(classes)[v]
+
+    # -- frontends ----------------------------------------------------------
+
+    def infer_image_file(self, path: str, out_path: Optional[str] = None,
+                         class_names: Optional[Sequence[str]] = None,
+                         ) -> Dict:
+        from heltondetection_tpu.data.readers import imread_rgb
+        from heltondetection_tpu.utils.vis import draw_boxes
+        img = imread_rgb(path)
+        boxes, scores, classes = self.detect_image(img)
+        if out_path:
+            rendered = draw_boxes(img, boxes, scores, classes, class_names)
+            cv2.imwrite(out_path, cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+        return {"boxes": boxes, "scores": scores, "classes": classes}
+
+    def infer_video_file(self, path: str, out_path: str,
+                         class_names: Optional[Sequence[str]] = None,
+                         max_frames: Optional[int] = None) -> int:
+        """Frame-loop video inference (SURVEY.md §3.3 video hot loop).
+        Returns frames processed."""
+        from heltondetection_tpu.utils.vis import draw_boxes
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        writer = cv2.VideoWriter(out_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (max_frames and n >= max_frames):
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            boxes, scores, classes = self.detect_image(rgb)
+            rendered = draw_boxes(rgb, boxes, scores, classes, class_names)
+            writer.write(cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+            n += 1
+        cap.release()
+        writer.release()
+        return n

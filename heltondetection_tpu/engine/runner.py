@@ -1,0 +1,282 @@
+"""Runner — rebuild target C3 (L4 of SURVEY.md §1): builds everything from
+an ExperimentConfig and owns the epoch/step loops, periodic eval, ckpt
+save/resume, and logging; train/eval/test share the construction path
+(README.md:11 decoupled logic, README.md:12 one-command CLI).
+
+Multi-chip: the same jitted step runs on a data mesh when >1 device is
+visible (SURVEY.md §2c) — batch sharded, state replicated, no code fork
+(the reference needs torchrun + DDP wrappers for this, README.md:29).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heltondetection_tpu.configs.base import ExperimentConfig
+from heltondetection_tpu.data.augment import EvalPipeline, TrainPipeline
+from heltondetection_tpu.data.loader import (EvalLoader, TrainLoader,
+                                             device_prep)
+from heltondetection_tpu.engine.evaluator import Evaluator
+from heltondetection_tpu.parallel.mesh import (create_mesh, replicate,
+                                               shard_batch)
+from heltondetection_tpu.utils import ckpt as ckpt_io
+from heltondetection_tpu.utils.cocoeval import DetEval, format_summary
+from heltondetection_tpu.utils.log import TBWriter, get_logger
+
+
+def build_dataset(dc, split: str = "train"):
+    from heltondetection_tpu.data.readers import (COCODataset, DOTADataset,
+                                                  YOLODataset)
+    ann = dc.train_ann if split == "train" else dc.val_ann
+    imgs = dc.train_imgs if split == "train" else dc.val_imgs
+    if dc.format == "coco":
+        return COCODataset(ann, imgs)
+    if dc.format == "yolo":
+        return YOLODataset(imgs, ann, dc.class_names)
+    if dc.format == "dota":
+        return DOTADataset(imgs, ann, dc.class_names)
+    raise ValueError(f"unknown dataset format {dc.format}")
+
+
+def build_model(mc, num_classes: int):
+    dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+    if mc.family == "yolov5":
+        from heltondetection_tpu.models.yolov5 import build_yolov5
+        return build_yolov5(mc.variant, num_classes, dtype=dtype)
+    if mc.family == "faster_rcnn":
+        from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
+                                                            RCNNConfig)
+        rcfg = RCNNConfig(num_classes=num_classes, img_size=mc.img_size,
+                          neck=mc.neck, head=mc.head,
+                          roi_method=mc.roi_method)
+        return FasterRCNN(rcfg, dtype=dtype)
+    raise ValueError(f"unknown model family {mc.family}")
+
+
+def _forward_for_eval(cfg: ExperimentConfig, model, variables):
+    """images float[0,1] → (boxes, obj, cls) unified eval contract."""
+    if cfg.model.family == "yolov5":
+        from heltondetection_tpu.models.yolov5 import decode_full
+
+        def fwd(images):
+            outs = model.apply(variables, images, train=False)
+            return decode_full(outs, cfg.model.num_classes)
+        return fwd
+
+    from heltondetection_tpu.models.faster_rcnn import faster_rcnn_infer
+
+    def fwd(images):
+        ob, os_, oc, ov = faster_rcnn_infer(model, variables, images,
+                                            model.cfg)
+        # adapt fixed dets to the (boxes, obj, cls) contract: one-hot cls
+        nc = cfg.model.num_classes
+        cls = jax.nn.one_hot(jnp.maximum(oc, 0), nc) * ov[..., None]
+        return ob, os_, cls
+    return fwd
+
+
+def run_eval(cfg: ExperimentConfig, variables=None, model=None,
+             verbose: bool = True) -> Dict[str, float]:
+    """--mode eval: val set → mAP (+ FLOPs/Params, README.md:24)."""
+    logger = get_logger()
+    ds = build_dataset(cfg.data, "val")
+    nc = ds.num_classes or cfg.model.num_classes
+    if model is None:
+        model = build_model(cfg.model, nc)
+        variables = _load_eval_variables(cfg, model)
+    fwd = _forward_for_eval(cfg, model, variables)
+    multi_label = cfg.eval.multi_label and cfg.model.family == "yolov5"
+    ev = Evaluator(fwd, nc, conf_thres=cfg.eval.conf_thres,
+                   iou_thres=cfg.eval.iou_thres, max_det=cfg.eval.max_det,
+                   multi_label=multi_label)
+    det = DetEval(nc)
+    ds.gt_for_eval(det)
+    loader = EvalLoader(EvalPipeline(ds, cfg.model.img_size),
+                        cfg.eval.batch_size,
+                        num_workers=cfg.train.num_workers)
+    stats = ev.run(loader, det_eval=det, verbose=False)
+    if verbose:
+        logger.info("eval results for %s:\n%s", cfg.name,
+                    format_summary(stats))
+        try:
+            from heltondetection_tpu.utils.flops import model_complexity
+            comp = model_complexity(model, variables, cfg.model.img_size)
+            logger.info("FLOPs: %.2f G/img  Params: %.2f M",
+                        comp["gflops_per_image"], comp["mparams"])
+        except Exception as e:  # cost analysis can be backend-dependent
+            logger.info("FLOPs unavailable: %s", e)
+    return stats
+
+
+def _load_eval_variables(cfg: ExperimentConfig, model):
+    """Restore EMA params (fall back to raw params) from the work dir."""
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import create_train_state
+    tx = make_optimizer(cfg.train.lr, total_steps=100, warmup_steps=10,
+                        weight_decay=cfg.train.weight_decay)
+    if cfg.model.family == "faster_rcnn":
+        from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
+        from heltondetection_tpu.train.trainer import TrainState
+        v = init_faster_rcnn(model, jax.random.PRNGKey(0),
+                             cfg.model.img_size)
+        state = TrainState(v["params"], v["batch_stats"],
+                           tx.init(v["params"]), jnp.zeros((), jnp.int32),
+                           v["params"])
+    else:
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   cfg.model.img_size, tx)
+    state = ckpt_io.restore_state(cfg.ckpt_dir, state)
+    params = state.ema_params if state.ema_params is not None else state.params
+    return {"params": params, "batch_stats": state.batch_stats}
+
+
+def run_train(cfg: ExperimentConfig, resume: bool = True
+              ) -> Dict[str, float]:
+    """--mode train: full training with warmup+cosine AdamW, EMA, periodic
+    eval + checkpointing; data-parallel over all visible devices."""
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import (TrainState,
+                                                   create_train_state,
+                                                   make_rcnn_train_step,
+                                                   make_train_step)
+    from heltondetection_tpu.train.yolo_loss import YoloLossConfig
+
+    logger = get_logger(log_file=os.path.join(cfg.log_dir, "train.log"))
+    tb = TBWriter(cfg.log_dir)
+    ds = build_dataset(cfg.data, "train")
+    nc = ds.num_classes or cfg.model.num_classes
+    cfg.model.num_classes = nc
+    model = build_model(cfg.model, nc)
+
+    pipe = TrainPipeline(ds, cfg.model.img_size, mosaic_p=cfg.train.mosaic_p,
+                         hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                         max_boxes=cfg.data.max_boxes, seed=cfg.train.seed)
+    loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
+                         num_workers=cfg.train.num_workers)
+    steps_per_epoch = max(loader.steps_per_epoch(), 1)
+    total_steps = steps_per_epoch * cfg.train.epochs
+    tx = make_optimizer(cfg.train.lr, total_steps=total_steps,
+                        warmup_steps=int(cfg.train.warmup_epochs *
+                                         steps_per_epoch),
+                        weight_decay=cfg.train.weight_decay,
+                        final_lr_frac=cfg.train.final_lr_frac,
+                        grad_clip=cfg.train.grad_clip)
+
+    is_rcnn = cfg.model.family == "faster_rcnn"
+    if is_rcnn:
+        from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
+        v = init_faster_rcnn(model, jax.random.PRNGKey(cfg.train.seed),
+                             cfg.model.img_size)
+        state = TrainState(v["params"], v["batch_stats"],
+                           tx.init(v["params"]), jnp.zeros((), jnp.int32),
+                           v["params"] if cfg.train.ema else None)
+        step_fn = jax.jit(make_rcnn_train_step(model, tx, model.cfg,
+                                               use_ema=cfg.train.ema))
+    else:
+        state = create_train_state(model,
+                                   jax.random.PRNGKey(cfg.train.seed),
+                                   cfg.model.img_size, tx,
+                                   use_ema=cfg.train.ema)
+        loss_cfg = YoloLossConfig(num_classes=nc,
+                                  img_size=cfg.model.img_size,
+                                  focal=cfg.train.focal,
+                                  label_smoothing=cfg.train.label_smoothing)
+        step_fn = jax.jit(make_train_step(model, tx, loss_cfg,
+                                          use_ema=cfg.train.ema))
+
+    if cfg.train.pretrain_ckpt:  # transfer init (README.md:79)
+        params = ckpt_io.load_params_for_transfer(cfg.train.pretrain_ckpt,
+                                                  state.params)
+        state = state._replace(params=params, ema_params=params)
+        logger.info("loaded transfer weights from %s",
+                    cfg.train.pretrain_ckpt)
+
+    start_epoch = 0
+    if resume and ckpt_io.latest_step(cfg.ckpt_dir) is not None:
+        state = ckpt_io.restore_state(cfg.ckpt_dir, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        logger.info("resumed from step %d (epoch %d)", int(state.step),
+                    start_epoch)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+        mesh = create_mesh()
+        state = replicate(state, mesh)
+        logger.info("data-parallel over %d devices", n_dev)
+
+    logger.info("training %s: %d epochs x %d steps", cfg.name,
+                cfg.train.epochs, steps_per_epoch)
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    best = {}
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t0 = time.time()
+        agg: Dict[str, float] = {}
+        n_steps = 0
+        for batch in loader.epoch(epoch):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch["image"] = device_prep(batch["image"])
+            if is_rcnn:
+                from heltondetection_tpu.ops.boxes import cxcywh_to_xyxy
+                batch["gt_boxes_xyxy"] = cxcywh_to_xyxy(batch.pop("gt_boxes"))
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            if is_rcnn:
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, sub)
+            else:
+                state, metrics = step_fn(state, batch)
+            n_steps += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+        tb.scalars(epoch, agg, prefix="train/")
+        logger.info("epoch %d/%d  %.1fs  %s", epoch + 1, cfg.train.epochs,
+                    time.time() - t0,
+                    "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+
+        last = epoch == cfg.train.epochs - 1
+        if (epoch + 1) % cfg.train.ckpt_interval == 0 or last:
+            host_state = jax.device_get(state)
+            ckpt_io.save_state(cfg.ckpt_dir, host_state, int(state.step))
+        if (epoch + 1) % cfg.train.eval_interval == 0 or last:
+            params = state.ema_params if state.ema_params is not None \
+                else state.params
+            variables = {"params": jax.device_get(params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            if cfg.data.val_ann:
+                stats = run_eval(cfg, variables=variables, model=model,
+                                 verbose=False)
+                tb.scalars(epoch, {"AP": stats["AP"],
+                                   "AP50": stats["AP50"]}, prefix="val/")
+                logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,
+                            stats["AP"], stats["AP50"])
+                best = stats if stats.get("AP", 0) >= best.get("AP", -1) \
+                    else best
+    tb.close()
+    return best
+
+
+def run_test(cfg: ExperimentConfig, source: str,
+             out_path: Optional[str] = None) -> Dict:
+    """--mode test: image or video inference with rendering (+TTA)."""
+    from heltondetection_tpu.engine.infer import Detector
+    ds_names = cfg.data.class_names
+    model = build_model(cfg.model, cfg.model.num_classes)
+    variables = _load_eval_variables(cfg, model)
+    fwd = _forward_for_eval(cfg, model, variables)
+    det = Detector(fwd, cfg.model.num_classes, cfg.model.img_size,
+                   conf_thres=cfg.test.conf_thres,
+                   iou_thres=cfg.test.iou_thres, tta=cfg.test.tta,
+                   tta_scales=cfg.test.tta_scales)
+    ext = os.path.splitext(source)[1].lower()
+    if ext in (".mp4", ".avi", ".mov", ".mkv"):
+        n = det.infer_video_file(source, out_path or "out.mp4", ds_names)
+        return {"frames": n}
+    return det.infer_image_file(source, out_path, ds_names)

@@ -1,0 +1,98 @@
+"""ResNet backbone (torchvision-v1 topology) — rebuild target C8.
+
+The reference's FasterRCNN default backbone is ResNet50 (README.md:65
+"Backbone默认为ResNet50") with ImageNet pretraining and optional freezing
+(README.md:132 frozeBackbone ablation). Topology matches torchvision
+``resnet50`` exactly (bottleneck 1-3-1, expansion 4, stride-2 in the 3x3,
+7x7/2 stem + 3x3/2 maxpool) so ported weights reproduce features; NHWC.
+
+Freezing: :func:`freeze_mask` returns a pytree mask usable with
+``optax.masked`` to implement the reference's frozen-backbone fine-tune.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Bottleneck(nn.Module):
+    features: int           # bottleneck width; output = features * 4
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=dt,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=dt,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=dt, name="ds_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5, dtype=dt,
+                                    name="ds_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)   # resnet50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False
+                 ) -> Tuple[jnp.ndarray, ...]:
+        dt = self.dtype
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=dt, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        widths = (64, 128, 256, 512)
+        for si, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for bi in range(n_blocks):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                x = Bottleneck(w, stride=stride, downsample=(bi == 0),
+                               dtype=dt, name=f"layer{si + 1}_{bi}")(x, train)
+            outs.append(x)
+        return tuple(outs)   # C2 (stride 4) .. C5 (stride 32)
+
+
+def build_resnet50(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+
+
+def freeze_mask(params, frozen_prefixes=("backbone",)):
+    """Pytree mask (True = trainable) implementing backbone freezing
+    (reference frozeBackbone, README.md:132). Use with optax.masked."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def trainable(path):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        return not any(k.startswith(pref) for k in keys
+                       for pref in frozen_prefixes)
+
+    import jax.tree_util as jtu
+    return jtu.tree_map_with_path(lambda p, _: trainable(p), params)

@@ -61,19 +61,20 @@ def rpn_cell_anchors(sizes: Sequence[float],
 
 def rpn_level_anchors(feat_h: int, feat_w: int, stride: int,
                       sizes: Sequence[float],
-                      ratios: Sequence[float] = (0.5, 1.0, 2.0)) -> jnp.ndarray:
+                      ratios: Sequence[float] = (0.5, 1.0, 2.0)) -> np.ndarray:
     """All anchors for one FPN level: (feat_h*feat_w*A, 4) xyxy in input px.
 
     Anchor centers sit at (x*stride, y*stride) like torchvision (no +0.5
-    offset), so ported FasterRCNN weights decode identically.
+    offset), so ported FasterRCNN weights decode identically. Returns
+    NUMPY so results can be cached across jit traces (a jnp build inside a
+    trace would leak tracers through caches).
     """
     cell = rpn_cell_anchors(sizes, ratios)            # (A, 4)
     xs = np.arange(feat_w, dtype=np.float32) * stride
     ys = np.arange(feat_h, dtype=np.float32) * stride
     cx, cy = np.meshgrid(xs, ys)                      # (H, W)
     shifts = np.stack([cx, cy, cx, cy], axis=-1).reshape(-1, 1, 4)
-    all_anchors = (shifts + cell[None]).reshape(-1, 4)
-    return jnp.asarray(all_anchors)
+    return (shifts + cell[None]).reshape(-1, 4).astype(np.float32)
 
 
 def rpn_pyramid_anchors(img_size: int,

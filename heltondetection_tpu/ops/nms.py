@@ -212,6 +212,11 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     # gather the top max_det kept rows, preserving score order
     kept_s = jnp.where(keep, top_s, -1.0)
+    if k < max_det:  # tiny inputs: fewer candidates than det slots
+        pad = max_det - k
+        kept_s = jnp.pad(kept_s, (0, pad), constant_values=-1.0)
+        top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
+        top_cls = jnp.pad(top_cls, (0, pad), constant_values=-1)
     out_s, oi = jax.lax.top_k(kept_s, max_det)
     out_valid = out_s > 0.0
     out_boxes = jnp.where(out_valid[:, None], top_boxes[oi], 0.0)

@@ -1,0 +1,146 @@
+"""RoIAlign — rebuild target N2 (SURVEY.md §2b): the reference uses
+torchvision.ops.roi_align (C++/CUDA) for FasterRCNN second-stage feature
+extraction (C12, README.md:65 "RoIAlign(默认)"); RoIPooling is the ablated
+alternative (−2.1 mAP, README.md:73-74) and is provided too.
+
+Pure-jnp gather formulation designed for TPU: for a fixed (N_roi, out, out,
+sampling²) sample grid, bilinear interpolation is 4 gathers + weighted sum,
+batched over channels — XLA turns this into vectorized dynamic-gathers with
+no data-dependent shapes. Semantics match torchvision (aligned=False default:
+no half-pixel shift; sampling_ratio fixed; max-pool variant = RoIPool grid
+quantization).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """feat (H,W,C); ys/xs arbitrary same-shape float sample coords →
+    (..., C) bilinear values with zero padding outside (torchvision clamps
+    coords to [-1, H] then zeroes out-of-range samples)."""
+    h, w = feat.shape[0], feat.shape[1]
+    valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    y1 = jnp.minimum(y0 + 1, h - 1.0)
+    x1 = jnp.minimum(x0 + 1, w - 1.0)
+    ly = ys - y0
+    lx = xs - x0
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    v00 = feat[y0i, x0i]
+    v01 = feat[y0i, x1i]
+    v10 = feat[y1i, x0i]
+    v11 = feat[y1i, x1i]
+    out = (v00 * ((1 - ly) * (1 - lx))[..., None] +
+           v01 * ((1 - ly) * lx)[..., None] +
+           v10 * (ly * (1 - lx))[..., None] +
+           v11 * (ly * lx)[..., None])
+    return out * valid[..., None]
+
+
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2,
+              aligned: bool = False) -> jnp.ndarray:
+    """RoIAlign over one feature map.
+
+    Args:
+      feat: (H, W, C) feature map (single image; vmap for batches).
+      rois: (N, 4) xyxy boxes in INPUT-image coordinates.
+    Returns (N, out_size, out_size, C).
+    """
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * spatial_scale - offset
+    y1 = rois[:, 1] * spatial_scale - offset
+    x2 = rois[:, 2] * spatial_scale - offset
+    y2 = rois[:, 3] * spatial_scale - offset
+    if not aligned:  # torchvision legacy: rois clamped to min size 1
+        rw = jnp.maximum(x2 - x1, 1.0)
+        rh = jnp.maximum(y2 - y1, 1.0)
+    else:
+        rw = x2 - x1
+        rh = y2 - y1
+    bin_h = rh / out_size                                  # (N,)
+    bin_w = rw / out_size
+    s = sampling_ratio
+    # sample grid: per bin, s×s regular samples at (i+0.5)/s fractions
+    gy = (jnp.arange(out_size * s) + 0.5) / s              # (out*s,) in bins
+    ys = y1[:, None] + gy[None, :] * bin_h[:, None]        # (N, out*s)
+    xs = x1[:, None] + gy[None, :] * bin_w[:, None]
+    yy = jnp.broadcast_to(ys[:, :, None], (rois.shape[0], out_size * s,
+                                           out_size * s))
+    xx = jnp.broadcast_to(xs[:, None, :], yy.shape)
+    vals = _bilinear_gather(feat, yy, xx)                  # (N, os, os, C)
+    n, _, _, c = vals.shape
+    vals = vals.reshape(n, out_size, s, out_size, s, c)
+    return vals.mean(axis=(2, 4))
+
+
+def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
+             spatial_scale: float = 1.0) -> jnp.ndarray:
+    """RoIPooling (quantized max-pool) — the reference's ablated variant
+    (README.md:73, −2.1 mAP vs RoIAlign). Approximated with a fixed 2-sample
+    max per bin on the quantized grid (exact torchvision RoIPool enumerates
+    a data-dependent number of cells, which cannot be static-shaped; the
+    ablation direction max≠avg is preserved)."""
+    x1 = jnp.round(rois[:, 0] * spatial_scale)
+    y1 = jnp.round(rois[:, 1] * spatial_scale)
+    x2 = jnp.round(rois[:, 2] * spatial_scale)
+    y2 = jnp.round(rois[:, 3] * spatial_scale)
+    rw = jnp.maximum(x2 - x1 + 1, 1.0)
+    rh = jnp.maximum(y2 - y1 + 1, 1.0)
+    s = 4  # samples per bin edge for the max
+    gy = (jnp.arange(out_size * s) + 0.5) / s / out_size   # fraction of roi
+    ys = y1[:, None] + gy[None, :] * rh[:, None]
+    xs = x1[:, None] + gy[None, :] * rw[:, None]
+    yy = jnp.broadcast_to(ys[:, :, None], (rois.shape[0], out_size * s,
+                                           out_size * s))
+    xx = jnp.broadcast_to(xs[:, None, :], yy.shape)
+    h, w = feat.shape[0], feat.shape[1]
+    vals = feat[jnp.clip(yy, 0, h - 1).astype(jnp.int32),
+                jnp.clip(xx, 0, w - 1).astype(jnp.int32)]
+    n, _, _, c = vals.shape
+    vals = vals.reshape(n, out_size, s, out_size, s, c)
+    return vals.max(axis=(2, 4))
+
+
+def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
+                         out_size: int = 7, sampling_ratio: int = 2,
+                         canonical_size: float = 224.0,
+                         canonical_level: int = 2,
+                         aligned: bool = False,
+                         method: str = "align") -> jnp.ndarray:
+    """FPN level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics):
+    level k = clamp(floor(k0 + log2(sqrt(area)/224)), levels). Computes the
+    align on EVERY level and selects per-roi — 4x the gather work but fully
+    static shapes; the per-level crops are cheap (N·out²·C).
+
+    Args:
+      feats: list of (H_l, W_l, C) maps, one per stride in ``strides``.
+      rois: (N, 4) xyxy input-image coords.
+    Returns (N, out, out, C).
+    """
+    areas = jnp.maximum(rois[:, 2] - rois[:, 0], 0.0) * \
+        jnp.maximum(rois[:, 3] - rois[:, 1], 0.0)
+    target = jnp.floor(canonical_level +
+                       jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
+    target = jnp.clip(target, 0, len(feats) - 1).astype(jnp.int32)
+    op = roi_align if method == "align" else roi_pool
+    outs = []
+    for lvl, (f, stride) in enumerate(zip(feats, strides)):
+        kw = dict(out_size=out_size, spatial_scale=1.0 / stride)
+        if method == "align":
+            kw.update(sampling_ratio=sampling_ratio, aligned=aligned)
+        outs.append(op(f, rois, **kw))
+    stacked = jnp.stack(outs, axis=0)                      # (L, N, o, o, C)
+    sel = jax.nn.one_hot(target, len(feats), axis=0)       # (L, N)
+    return (stacked * sel[:, :, None, None, None]).sum(0)

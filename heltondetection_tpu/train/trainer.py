@@ -37,7 +37,9 @@ class TrainState(NamedTuple):
 def create_train_state(model, rng, img_size: int, tx,
                        use_ema: bool = True, batch_size: int = 2) -> TrainState:
     x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
-    variables = model.init(rng, x, train=True)
+    # jit the init: eager init pays per-op dispatch latency (~30 ms RTT
+    # through the axon tunnel), turning a 1 s init into minutes
+    variables = jax.jit(functools.partial(model.init, train=True))(rng, x)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -52,6 +54,42 @@ def create_train_state(model, rng, img_size: int, tx,
 def ema_decay_schedule(step, base: float = 0.9999, tau: float = 2000.0):
     """Ultralytics ModelEMA ramp: d = base * (1 - exp(-step/tau))."""
     return base * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
+
+
+def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
+                         ) -> Callable:
+    """Two-stage FasterRCNN train step (same TrainState contract as the
+    YOLO step). batch adds nothing new: gt boxes arrive as xyxy pixels
+    in ``gt_boxes_xyxy``; a PRNG key drives proposal subsampling."""
+    from heltondetection_tpu.models.faster_rcnn import faster_rcnn_loss
+
+    def loss_fn(params, batch_stats, batch, rng):
+        loss, metrics, new_stats = faster_rcnn_loss(
+            model, {"params": params, "batch_stats": batch_stats},
+            batch["image"], batch["gt_boxes_xyxy"], batch["gt_cls"],
+            batch["gt_mask"], rcnn_cfg, rng, train=True)
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if use_ema and state.ema_params is not None:
+            d = ema_decay_schedule(state.step)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params, new_params)
+        else:
+            new_ema = state.ema_params
+        new_state = TrainState(new_params, new_stats, new_opt,
+                               state.step + 1, new_ema)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
 
 
 def make_train_step(model, tx, loss_cfg: YoloLossConfig,

@@ -1,0 +1,79 @@
+"""Checkpoint I/O (rebuild target C25): orbax-backed pytree save/restore of
+the full TrainState (params + batch_stats + opt state + step + EMA), plus a
+params-only loader for transfer learning — the reference's COCO-pretrain
+workflow (README.md:79) and backbone-frozen fine-tune (README.md:132)
+load weights across experiments the same way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _mgr(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_state(ckpt_dir: str, state: Any, step: int,
+               max_to_keep: int = 3) -> None:
+    with _mgr(ckpt_dir, max_to_keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with _mgr(ckpt_dir) as mgr:
+        return mgr.latest_step()
+
+
+def restore_state(ckpt_dir: str, template: Any,
+                  step: Optional[int] = None) -> Any:
+    """Restore into the structure/shardings of ``template`` (an abstract or
+    concrete TrainState). Enables resume-after-restart (SURVEY.md §5
+    checkpoint/resume)."""
+    with _mgr(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          template)
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def load_params_for_transfer(ckpt_dir: str, template_params: Any,
+                             step: Optional[int] = None,
+                             skip_prefixes: tuple = ()) -> Any:
+    """Load only matching params (by tree path + shape) from a checkpointed
+    TrainState into ``template_params`` — mismatched heads (e.g. different
+    num_classes, the COCOPretrain→VOC transfer of README.md:79) keep their
+    fresh init."""
+    import numpy as np
+
+    with _mgr(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        restored = mgr.restore(step)
+    src = restored["params"] if isinstance(restored, dict) and \
+        "params" in restored else restored[0]
+
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+
+    def merge(path, tgt_leaf):
+        key = tuple(path)
+        if key in flat_src:
+            s = flat_src[key]
+            if tuple(np.shape(s)) == tuple(np.shape(tgt_leaf)):
+                name = "/".join(getattr(p, "key", str(p)) for p in path)
+                if not any(name.startswith(pref) for pref in skip_prefixes):
+                    return jax.numpy.asarray(s)
+        return tgt_leaf
+
+    return jax.tree_util.tree_map_with_path(merge, template_params)

@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from heltondetection_tpu.ops.roi_align import (multilevel_roi_align,
+                                               roi_align, roi_pool)
+
+
+def test_constant_map():
+    feat = jnp.full((16, 16, 4), 3.5)
+    rois = jnp.asarray([[2.0, 2.0, 10.0, 10.0], [0.0, 0.0, 16.0, 16.0]])
+    out = roi_align(feat, rois, out_size=7)
+    assert out.shape == (2, 7, 7, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.5, atol=1e-5)
+
+
+def test_linear_ramp_center_values():
+    # f(y,x) = x: bilinear sampling of a linear function is exact, so each
+    # output bin = mean of its sample x-coords = bin center x
+    h = w = 32
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :, None],
+                          (h, w, 1))
+    roi = jnp.asarray([[4.0, 4.0, 20.0, 20.0]])   # w=16 → bin 2px
+    out = roi_align(xs, roi, out_size=8, sampling_ratio=2)
+    # bin i center x = 4 + (i+0.5)*2
+    expect = 4 + (np.arange(8) + 0.5) * 2
+    np.testing.assert_allclose(np.asarray(out)[0, 0, :, 0], expect, atol=1e-4)
+
+
+def test_linearity():
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.normal(0, 1, (16, 16, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(0, 1, (16, 16, 8)).astype(np.float32))
+    rois = jnp.asarray(rng.uniform(0, 10, (5, 4)).astype(np.float32))
+    rois = rois.at[:, 2:].set(rois[:, :2] + 5.0)
+    a, b = 2.0, -0.7
+    lhs = roi_align(a * f1 + b * f2, rois)
+    rhs = a * roi_align(f1, rois) + b * roi_align(f2, rois)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_spatial_scale():
+    # same roi in input coords sampled from a 2x-downsampled map
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.normal(0, 1, (16, 16, 2)).astype(np.float32))
+    roi_in = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])   # input coords
+    out1 = roi_align(feat, roi_in, spatial_scale=0.5)
+    roi_feat = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])  # feature coords
+    out2 = roi_align(feat, roi_feat, spatial_scale=1.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_roi_pool_max_vs_align_avg():
+    # peaked feature: pool (max) must exceed align (avg)
+    feat = np.zeros((16, 16, 1), np.float32)
+    feat[7:10, 7:10, 0] = 10.0
+    feat = jnp.asarray(feat)
+    roi = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    mx = float(roi_pool(feat, roi, out_size=2).max())
+    av = float(roi_align(feat, roi, out_size=2).max())
+    assert mx > av
+
+
+def test_multilevel_selection():
+    rng = np.random.default_rng(2)
+    img = 256
+    feats = [jnp.asarray(rng.normal(0, 1, (img // s, img // s, 4))
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    # small roi (32²) → 2+log2(32/224) ≈ -0.8 → level 0
+    # large roi (224²) → level 2; huge (448²→ level 3)
+    rois = jnp.asarray([[0, 0, 32, 32], [0, 0, 224, 224], [0, 0, 448, 448]],
+                       jnp.float32)
+    out = multilevel_roi_align(feats, rois, (4, 8, 16, 32), out_size=7)
+    lvl0 = roi_align(feats[0], rois[:1], out_size=7, spatial_scale=0.25)
+    lvl2 = roi_align(feats[2], rois[1:2], out_size=7, spatial_scale=1 / 16)
+    lvl3 = roi_align(feats[3], rois[2:3], out_size=7, spatial_scale=1 / 32)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(lvl0[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(lvl2[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(lvl3[0]), atol=1e-5)
+
+
+def test_jit_and_grad():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(0, 1, (16, 16, 4)).astype(np.float32))
+    rois = jnp.asarray([[2.0, 2.0, 12.0, 12.0]])
+    f = jax.jit(lambda ft: roi_align(ft, rois).sum())
+    g = jax.grad(lambda ft: roi_align(ft, rois).sum())(feat)
+    assert np.isfinite(float(f(feat)))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
