@@ -134,6 +134,14 @@ class DetEval:
         ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
 
         G, D = len(gts), len(dts)
+        native = None
+        if G and D:
+            from heltondetection_tpu.native import match_dets_native
+            native = match_dets_native(self.iou_thrs, ious, g_ig, g_crowd)
+        if native is not None:
+            dtm, dt_ig = native
+            return self._finish_eval(dtm, dt_ig, d_boxes, d_scores, g_ig,
+                                     area_rng)
         dtm = np.zeros((T, D), np.int64) - 1
         dt_ig = np.zeros((T, D), np.int64)
         nonig = g_ig == 0
@@ -155,6 +163,12 @@ class DetEval:
                 dtm[t, d] = m
                 dt_ig[t, d] = g_ig[m]
                 gtm_t[m] = d
+        return self._finish_eval(dtm, dt_ig, d_boxes, d_scores, g_ig,
+                                 area_rng)
+
+    @staticmethod
+    def _finish_eval(dtm, dt_ig, d_boxes, d_scores, g_ig, area_rng):
+        D = len(d_scores)
         d_areas = d_boxes[:, 2] * d_boxes[:, 3] if D else np.zeros(0)
         out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
         dt_ig = np.logical_or(dt_ig, (dtm < 0) & out[None, :]).astype(np.int64)

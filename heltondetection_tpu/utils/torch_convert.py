@@ -1,0 +1,153 @@
+"""PyTorch → JAX weight conversion — the cross-implementation oracle path.
+
+SURVEY.md §4: the reference's strongest integration test is scoring OFFICIAL
+Ultralytics YOLOv5 weights through its own eval stack
+(utils/otherUtils/eval_yolov5_by_pycocotools.py, README.md:25; result rows
+README.md:133,135). This module maps an Ultralytics-v6.1 ``state_dict``
+(model.0..model.24 layout) onto our flax pytree so the same oracle runs
+here: ported weights + our decode/NMS/eval must reproduce the published
+mAP. (No network access in this image, so the weights file itself must be
+provided by the user; the converter + layout contract are fully tested
+against a synthetically-constructed state_dict of identical structure.)
+
+Layout contract (Ultralytics yolov5[s,l].pt → model.float().state_dict()):
+  model.0          stem Conv           → backbone/stem
+  model.1..9       backbone convs/C3/SPPF
+  model.10..23     head (PAFPN convs/C3)
+  model.24.m.{0,1,2} Detect 1x1 convs  → detect{0,1,2}
+Torch conv weight OIHW → flax HWIO transpose; BN: weight→scale, bias→bias,
+running_mean/var→batch_stats.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))   # OIHW → HWIO
+
+
+def _convbn(sd: Mapping, tprefix: str) -> Tuple[Dict, Dict]:
+    """Ultralytics Conv module (conv+bn) → our ConvBnAct params/stats."""
+    params = {
+        "conv": {"kernel": _conv(sd[f"{tprefix}.conv.weight"])},
+        "bn": {"scale": np.asarray(sd[f"{tprefix}.bn.weight"]),
+               "bias": np.asarray(sd[f"{tprefix}.bn.bias"])},
+    }
+    stats = {
+        "bn": {"mean": np.asarray(sd[f"{tprefix}.bn.running_mean"]),
+               "var": np.asarray(sd[f"{tprefix}.bn.running_var"])},
+    }
+    return params, stats
+
+
+def _c3(sd: Mapping, tprefix: str, n: int) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    for name in ("cv1", "cv2", "cv3"):
+        p[name], s[name] = _convbn(sd, f"{tprefix}.{name}")
+    for i in range(n):
+        bp: Dict = {}
+        bs: Dict = {}
+        bp["cv1"], bs["cv1"] = _convbn(sd, f"{tprefix}.m.{i}.cv1")
+        bp["cv2"], bs["cv2"] = _convbn(sd, f"{tprefix}.m.{i}.cv2")
+        p[f"m{i}"], s[f"m{i}"] = bp, bs
+    return p, s
+
+
+def _sppf(sd: Mapping, tprefix: str) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    p["cv1"], s["cv1"] = _convbn(sd, f"{tprefix}.cv1")
+    p["cv2"], s["cv2"] = _convbn(sd, f"{tprefix}.cv2")
+    return p, s
+
+
+def convert_yolov5(state_dict: Mapping, depth_multiple: float = 0.33
+                   ) -> Tuple[Dict, Dict]:
+    """Ultralytics v6.1 state_dict → (params, batch_stats) for our YOLOv5.
+
+    depth_multiple sets C3 repeat counts (0.33 for n/s, 0.67 m, 1.0 l...).
+    """
+    def d(n):
+        return max(round(n * depth_multiple), 1)
+
+    sd = state_dict
+    P: Dict = {"backbone": {}, "neck": {}}
+    S: Dict = {"backbone": {}, "neck": {}}
+
+    bb_map = [
+        ("stem", 0, "conv", None),
+        ("down1", 1, "conv", None),
+        ("c3_1", 2, "c3", d(3)),
+        ("down2", 3, "conv", None),
+        ("c3_2", 4, "c3", d(6)),
+        ("down3", 5, "conv", None),
+        ("c3_3", 6, "c3", d(9)),
+        ("down4", 7, "conv", None),
+        ("c3_4", 8, "c3", d(3)),
+        ("sppf", 9, "sppf", None),
+    ]
+    for name, idx, kind, n in bb_map:
+        t = f"model.{idx}"
+        if kind == "conv":
+            P["backbone"][name], S["backbone"][name] = _convbn(sd, t)
+        elif kind == "c3":
+            P["backbone"][name], S["backbone"][name] = _c3(sd, t, n)
+        else:
+            P["backbone"][name], S["backbone"][name] = _sppf(sd, t)
+
+    neck_map = [
+        ("lat5", 10, "conv", None),
+        ("td4", 13, "c3", d(3)),
+        ("lat4", 14, "conv", None),
+        ("td3", 17, "c3", d(3)),
+        ("bu3", 18, "conv", None),
+        ("bu4", 20, "c3", d(3)),
+        ("bu5", 21, "conv", None),
+        ("bu6", 23, "c3", d(3)),
+    ]
+    for name, idx, kind, n in neck_map:
+        t = f"model.{idx}"
+        if kind == "conv":
+            P["neck"][name], S["neck"][name] = _convbn(sd, t)
+        else:
+            P["neck"][name], S["neck"][name] = _c3(sd, t, n)
+
+    for i in range(3):
+        P[f"detect{i}"] = {
+            "kernel": _conv(sd[f"model.24.m.{i}.weight"]),
+            "bias": np.asarray(sd[f"model.24.m.{i}.bias"]),
+        }
+    return P, S
+
+
+def load_ultralytics_checkpoint(path: str, num_classes: int = 80,
+                                variant: str = "s"):
+    """Load a .pt checkpoint file → (model, variables) ready for eval.
+    Requires torch (CPU) to unpickle."""
+    import torch
+    from heltondetection_tpu.models.cspdarknet import VARIANTS
+    from heltondetection_tpu.models.yolov5 import build_yolov5
+    import jax.numpy as jnp
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_t = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt \
+        else ckpt
+    sd = model_t.float().state_dict() if hasattr(model_t, "state_dict") \
+        else model_t
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    d, _ = VARIANTS[variant]
+    params, stats = convert_yolov5(sd, depth_multiple=d)
+    model = build_yolov5(variant, num_classes)
+    variables = {"params": _to_jnp(params), "batch_stats": _to_jnp(stats)}
+    return model, variables
+
+
+def _to_jnp(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, tree)
