@@ -1,0 +1,97 @@
+"""Detector frontend tests: image file, video loop, TTA fusion, heatmap
+visualization — the reference's C21/C19/C23 surface on synthetic data."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from synth_data import build_coco_dataset
+from heltondetection_tpu.data.readers import COCODataset
+from heltondetection_tpu.engine.infer import Detector
+from heltondetection_tpu.models.yolov5 import YOLOv5, decode_full
+from heltondetection_tpu.utils.vis import (draw_boxes, feature_heatmaps,
+                                           objectness_maps)
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    nc = 4
+    model = YOLOv5(num_classes=nc, depth_multiple=0.33, width_multiple=0.125)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def fwd(images):
+        outs = model.apply(variables, images, train=False)
+        return decode_full(outs, nc)
+
+    return fwd, nc
+
+
+def test_detect_image_shapes(tiny_detector):
+    fwd, nc = tiny_detector
+    det = Detector(fwd, nc, 64, conf_thres=0.01)
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    boxes, scores, classes = det.detect_image(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    if len(boxes):
+        assert (boxes[:, [0, 2]] <= 128).all()
+        assert (boxes[:, [1, 3]] <= 96).all()
+
+
+def test_detect_image_tta(tiny_detector):
+    fwd, nc = tiny_detector
+    det = Detector(fwd, nc, 64, conf_thres=0.01, tta=True,
+                   tta_scales=(1.0, 0.5))
+    img = np.random.default_rng(1).integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    boxes, scores, classes = det.detect_image(img)
+    assert boxes.shape[1] == 4
+    assert np.isfinite(boxes).all()
+
+
+def test_infer_image_file_renders(tiny_detector, tmp_path):
+    fwd, nc = tiny_detector
+    root = tempfile.mkdtemp()
+    ann, imgs = build_coco_dataset(root, n_images=1)
+    det = Detector(fwd, nc, 64, conf_thres=0.001)
+    src = os.path.join(imgs, sorted(os.listdir(imgs))[0])
+    out = str(tmp_path / "render.png")
+    res = det.infer_image_file(src, out, class_names=["a", "b", "c", "d"])
+    assert os.path.exists(out)
+    assert "boxes" in res
+
+
+def test_infer_video_file(tiny_detector, tmp_path):
+    fwd, nc = tiny_detector
+    # synth video: 6 frames
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        w.write(rng.integers(0, 255, (96, 128, 3)).astype(np.uint8))
+    w.release()
+    det = Detector(fwd, nc, 64, conf_thres=0.01)
+    out = str(tmp_path / "out.mp4")
+    n = det.infer_video_file(vid, out, max_frames=5)
+    assert n == 5
+    assert os.path.getsize(out) > 0
+
+
+def test_vis_draw_and_heatmaps():
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_boxes(img, np.array([[5, 5, 30, 30]]), np.array([0.9]),
+                     np.array([1]), ["a", "b"])
+    assert out.shape == img.shape and out.sum() > 0
+    feats = [np.random.default_rng(0).normal(size=(8, 8, 16)),
+             np.random.default_rng(1).normal(size=(4, 4, 32))]
+    hm = feature_heatmaps(img, feats)
+    assert hm.shape == (64, 128, 3)
+    raws = [np.random.default_rng(2).normal(size=(8, 8, 3 * 9))]
+    om = objectness_maps(img, raws, num_classes=4)
+    assert om.shape == (64, 64, 3)
