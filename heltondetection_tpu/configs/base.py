@@ -37,6 +37,7 @@ class ModelConfig:
     head: str = "coupled"             # coupled | decoupled
     roi_method: str = "align"         # align | pool
     freeze_backbone: bool = False     # README.md:132
+    dropblock_p: float = 0.0          # README.md:97,131 ablations
 
 
 @dataclass

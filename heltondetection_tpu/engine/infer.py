@@ -28,8 +28,9 @@ except ImportError:  # pragma: no cover
 
 class Detector:
     """High-level single/batch-image detector wrapping a jitted
-    forward+decode+NMS. ``forward_fn(images (B,S,S,3) float[0,1]) →
-    (boxes, obj, cls)`` like the evaluator contract."""
+    forward+decode+NMS. ``forward_fn(images (B,S,S,3) float, RAW 0-255) →
+    (boxes, obj, cls)`` — the same contract as the evaluator: forward_fn
+    owns the /255 normalization so it fuses on device."""
 
     def __init__(self, forward_fn: Callable, num_classes: int, img_size: int,
                  *, conf_thres: float = 0.25, iou_thres: float = 0.45,
@@ -69,7 +70,7 @@ class Detector:
         classes) as numpy, TTA-fused when enabled."""
         s = self.img_size
         lb, _, meta = letterbox_np(img_rgb, np.zeros((0, 4), np.float32), s)
-        x = jnp.asarray(lb, jnp.float32)[None] / 255.0
+        x = jnp.asarray(lb, jnp.float32)[None]      # raw 0-255; fwd norms
 
         if not self.tta:
             ob, os_, oc, ov = jax.device_get(self._detect(x))
@@ -90,7 +91,7 @@ class Detector:
         for sc in self.tta_scales[1:]:
             ns = int(round(s * sc / 32)) * 32
             lb2, _, meta2 = letterbox_np(img_rgb, np.zeros((0, 4)), ns)
-            x2 = jnp.asarray(lb2, jnp.float32)[None] / 255.0
+            x2 = jnp.asarray(lb2, jnp.float32)[None]
             # jit retraces per input shape; each TTA scale compiles once
             ob, os_, oc, ov = self._detect(x2)
             # map view-2 coords back into view-1 letterbox coords

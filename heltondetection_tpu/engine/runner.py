@@ -47,24 +47,31 @@ def build_dataset(dc, split: str = "train"):
 def build_model(mc, num_classes: int):
     dtype = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
     if mc.family == "yolov5":
-        from heltondetection_tpu.models.yolov5 import build_yolov5
-        return build_yolov5(mc.variant, num_classes, dtype=dtype)
+        from heltondetection_tpu.models.cspdarknet import VARIANTS
+        from heltondetection_tpu.models.yolov5 import YOLOv5
+        d, w = VARIANTS[mc.variant]
+        return YOLOv5(num_classes=num_classes, depth_multiple=d,
+                      width_multiple=w, dtype=dtype,
+                      dropblock_p=mc.dropblock_p)
     if mc.family == "faster_rcnn":
         from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
                                                             RCNNConfig)
         rcfg = RCNNConfig(num_classes=num_classes, img_size=mc.img_size,
                           neck=mc.neck, head=mc.head,
-                          roi_method=mc.roi_method)
+                          roi_method=mc.roi_method,
+                          dropblock_p=mc.dropblock_p)
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
 
 
 def _forward_for_eval(cfg: ExperimentConfig, model, variables):
-    """images float[0,1] → (boxes, obj, cls) unified eval contract."""
+    """raw uint8 images → (boxes, obj, cls) unified eval contract (the
+    /255 normalization is fused on device, BASELINE.json N7)."""
     if cfg.model.family == "yolov5":
         from heltondetection_tpu.models.yolov5 import decode_full
 
         def fwd(images):
+            images = images.astype(jnp.float32) / 255.0
             outs = model.apply(variables, images, train=False)
             return decode_full(outs, cfg.model.num_classes)
         return fwd
@@ -72,6 +79,7 @@ def _forward_for_eval(cfg: ExperimentConfig, model, variables):
     from heltondetection_tpu.models.faster_rcnn import faster_rcnn_infer
 
     def fwd(images):
+        images = images.astype(jnp.float32) / 255.0
         ob, os_, oc, ov = faster_rcnn_infer(model, variables, images,
                                             model.cfg)
         # adapt fixed dets to the (boxes, obj, cls) contract: one-hot cls
@@ -166,7 +174,9 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                                          steps_per_epoch),
                         weight_decay=cfg.train.weight_decay,
                         final_lr_frac=cfg.train.final_lr_frac,
-                        grad_clip=cfg.train.grad_clip)
+                        grad_clip=cfg.train.grad_clip,
+                        frozen_prefixes=(("backbone",) if
+                                         cfg.model.freeze_backbone else ()))
 
     is_rcnn = cfg.model.family == "faster_rcnn"
     if is_rcnn:

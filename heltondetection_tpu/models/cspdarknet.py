@@ -33,6 +33,8 @@ class CSPDarknet(nn.Module):
     depth_multiple: float = 0.33
     width_multiple: float = 0.50
     dtype: Any = jnp.float32
+    dropblock_p: float = 0.0   # reference DropBlock-on-backbone ablation
+    # (README.md:131-132, C16)
 
     @nn.compact
     def __call__(self, x, train: bool = False
@@ -50,6 +52,12 @@ class CSPDarknet(nn.Module):
         x = ConvBnAct(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, train)
         x = C3(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, train)
         c5 = SPPF(scaled(1024, w), 5, dtype=dt, name="sppf")(x, train)
+        if self.dropblock_p > 0:
+            from heltondetection_tpu.models.dropblock import DropBlock
+            db = DropBlock(self.dropblock_p, name="dropblock")
+            c3 = db(c3, deterministic=not train)
+            c4 = db(c4, deterministic=not train)
+            c5 = db(c5, deterministic=not train)
         return c3, c4, c5
 
 

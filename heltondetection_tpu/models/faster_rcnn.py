@@ -65,6 +65,8 @@ class RCNNConfig(NamedTuple):
     nms_thresh: float = 0.5
     max_det: int = 100
     max_gt: int = 64
+    dropblock_p: float = 0.0   # DropBlock on pooled head features
+    # (reference DDP_dropBlock0.5 ablation, README.md:97)
 
 
 STRIDES = (4, 8, 16, 32, 64)            # P2..P6
@@ -177,7 +179,7 @@ class FasterRCNN(nn.Module):
             self.run_box_head([p[0] for p in pyr], dummy)
         return pyr, obj, deltas
 
-    def run_box_head(self, pyr, rois):
+    def run_box_head(self, pyr, rois, train: bool = False):
         """Pooled features → head outputs for ONE image's rois (R,4).
 
         pyr entries must be UNBATCHED (H,W,C) — callers vmap over images.
@@ -186,6 +188,11 @@ class FasterRCNN(nn.Module):
         """
         crops = multilevel_roi_align(list(pyr[:4]), rois, STRIDES[:4],
                                      out_size=7, method=self.cfg.roi_method)
+        if self.cfg.dropblock_p > 0:
+            from heltondetection_tpu.models.dropblock import DropBlock
+            crops = DropBlock(self.cfg.dropblock_p, block_size=3,
+                              name="head_dropblock")(
+                crops, deterministic=not train)
         return self.box_head(crops)
 
 
@@ -425,9 +432,12 @@ def faster_rcnn_loss(model: FasterRCNN, variables, images, gt_boxes_xyxy,
             jax.lax.stop_gradient(p), pv, g, c, m, cfg, r)
     )(props, pvalid, gt_boxes_xyxy, gt_cls, gt_mask, rngs[b:])
 
+    kd = jax.random.fold_in(rng, 17)
+
     def head_one(pyr_img, rois_img):
         return model.apply(variables, [p for p in pyr_img], rois_img,
-                           method=FasterRCNN.run_box_head)
+                           train, method=FasterRCNN.run_box_head,
+                           rngs={"dropout": kd} if train else {})
 
     scores, head_deltas = jax.vmap(head_one)(
         [p for p in pyr], rois)

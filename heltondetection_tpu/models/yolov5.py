@@ -34,6 +34,7 @@ class YOLOv5(nn.Module):
     width_multiple: float = 0.50
     num_anchors: int = 3
     dtype: Any = jnp.float32
+    dropblock_p: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -44,7 +45,8 @@ class YOLOv5(nn.Module):
         mAP tenths, which blows the 0.3-pt parity budget, SURVEY.md §7).
         """
         backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
-                              dtype=self.dtype, name="backbone")
+                              dtype=self.dtype,
+                              dropblock_p=self.dropblock_p, name="backbone")
         neck = PAFPNv5(self.depth_multiple, self.width_multiple,
                        dtype=self.dtype, name="neck")
         feats = neck(backbone(x, train), train)

@@ -37,12 +37,25 @@ def _decay_mask(params):
 def make_optimizer(base_lr: float = 1e-3, *, total_steps: int = 10000,
                    warmup_steps: int = 500, weight_decay: float = 5e-4,
                    final_lr_frac: float = 0.1, grad_clip: Optional[float] = 10.0,
-                   b1: float = 0.9, b2: float = 0.999
+                   b1: float = 0.9, b2: float = 0.999,
+                   frozen_prefixes: tuple = ()
                    ) -> optax.GradientTransformation:
+    """``frozen_prefixes``: top-level param-tree keys to freeze (e.g.
+    ("backbone",) for the reference's frozeBackbone ablation,
+    README.md:132) — their updates are zeroed."""
     sched = warmup_cosine(base_lr, total_steps, warmup_steps, final_lr_frac)
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
     parts.append(optax.adamw(sched, b1=b1, b2=b2,
                              weight_decay=weight_decay, mask=_decay_mask))
+    if frozen_prefixes:
+        import jax
+
+        def label(params):
+            return {k: ("frozen" if k in frozen_prefixes else "train")
+                    for k in params}
+        return optax.multi_transform(
+            {"train": optax.chain(*parts), "frozen": optax.set_to_zero()},
+            label)
     return optax.chain(*parts)

@@ -100,17 +100,21 @@ def make_train_step(model, tx, loss_cfg: YoloLossConfig,
     (B,M,4) cxcywh pixels, ``gt_cls`` (B,M) int, ``gt_mask`` (B,M) bool.
     """
 
-    def loss_fn(params, batch_stats, batch):
+    base_key = jax.random.PRNGKey(0)
+
+    def loss_fn(params, batch_stats, batch, step):
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True, mutable=["batch_stats"])
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(base_key, step)})
         loss, metrics = yolo_loss(outs, batch["gt_boxes"], batch["gt_cls"],
                                   batch["gt_mask"], loss_cfg)
         return loss, (metrics, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if use_ema and state.ema_params is not None:

@@ -32,10 +32,10 @@ def workspace():
                                 val_imgs={imgs!r}, max_boxes=16),
                 model=ModelConfig(family="yolov5", variant="n",
                                   num_classes=4, img_size=64),
-                train=TrainConfig(epochs=8, batch_size=8, lr=5e-3,
+                train=TrainConfig(epochs=160, batch_size=8, lr=5e-3,
                                   mosaic_p=0.0, hsv=False, flip_p=0.0,
-                                  warmup_epochs=1, num_workers=2,
-                                  eval_interval=100, ckpt_interval=4),
+                                  warmup_epochs=10, num_workers=2,
+                                  eval_interval=1000, ckpt_interval=40),
                 eval=EvalConfig(batch_size=4, conf_thres=0.05, max_det=32),
                 test=TestConfig(conf_thres=0.2),
             )
@@ -45,14 +45,18 @@ def workspace():
 
 def test_cli_train_eval_test(workspace):
     root, ann, imgs, cfg_path = workspace
-    # hack: yolov5 'n' at width 0.25 is still slow on CPU; epochs are few,
-    # we only check the plumbing end-to-end (overfit quality is covered by
-    # test_e2e.py)
     assert cli_main(["--mode", "train", "--config", cfg_path]) == 0
     ckpt_dir = os.path.join(root, "runs", "tiny_synth", "ckpt")
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
 
     assert cli_main(["--mode", "eval", "--config", cfg_path]) == 0
+    # quality gate through the public runner: 160 overfit epochs on 8
+    # synthetic images must reach high AP50 (catches silent train/eval
+    # pipeline skew, e.g. normalization mismatches)
+    from heltondetection_tpu.configs.base import load_config
+    from heltondetection_tpu.engine.runner import run_eval
+    stats = run_eval(load_config(cfg_path), verbose=False)
+    assert stats["AP50"] > 0.6, stats
 
     img_path = os.path.join(imgs, sorted(os.listdir(imgs))[0])
     out_path = os.path.join(root, "out.png")

@@ -27,8 +27,8 @@ def tiny_detector():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
 
-    def fwd(images):
-        outs = model.apply(variables, images, train=False)
+    def fwd(images):  # contract: raw 0-255 in, fwd owns normalization
+        outs = model.apply(variables, images / 255.0, train=False)
         return decode_full(outs, nc)
 
     return fwd, nc
