@@ -97,8 +97,14 @@ class Evaluator:
     def __init__(self, forward_fn: Callable, num_classes: int, *,
                  conf_thres: float = 0.001, iou_thres: float = 0.65,
                  pre_nms_topk: int = 1024, max_det: int = 300,
-                 multi_label: bool = True, use_pallas: bool = False):
+                 multi_label: bool = True, use_pallas: bool = False,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — eval batches are sharded
+        over its 'data' axis so multi-chip eval needs no other changes
+        (the reference's DDP eval is rank-0-only, SURVEY.md §3.1; here all
+        chips participate)."""
         self.num_classes = num_classes
+        self._mesh = mesh
         post = make_postprocess(num_classes, conf_thres=conf_thres,
                                 iou_thres=iou_thres, pre_nms_topk=pre_nms_topk,
                                 max_det=max_det, multi_label=multi_label,
@@ -108,6 +114,14 @@ class Evaluator:
         def _step(images):
             boxes, obj, cls = forward_fn(images)
             return post(boxes, obj, cls)
+
+        if mesh is not None:
+            from heltondetection_tpu.parallel.mesh import batch_sharding
+            sharding = batch_sharding(mesh)
+            inner = _step
+
+            def _step(images):  # noqa: F811 — sharded wrapper
+                return inner(jax.device_put(jnp.asarray(images), sharding))
 
         self._step = _step
 

@@ -127,6 +127,25 @@ def test_train_loader_shapes_and_determinism(coco_ds):
                                   batches1[1]["gt_boxes"])
 
 
+def test_train_pipeline_on_yolo_and_dota(tmp_path):
+    """Readers are interchangeable under the pipelines (format parity)."""
+    img_dir, lbl_dir = build_yolo_dataset(str(tmp_path / "y"), n_images=4)
+    yds = YOLODataset(img_dir, lbl_dir, [f"class{i}" for i in range(4)])
+    pipe = TrainPipeline(yds, 64, mosaic_p=1.0, max_boxes=16, seed=0)
+    s = pipe.sample(0, 0)
+    assert s["image"].shape == (64, 64, 3)
+    img_dir, lbl_dir, names = build_dota_dataset(str(tmp_path / "d"))
+    dds = DOTADataset(img_dir, lbl_dir, names)
+    s2 = EvalPipeline(dds, 64).sample(0)
+    assert s2["image"].shape == (64, 64, 3)
+    # eval gt registration works for both
+    from heltondetection_tpu.utils.cocoeval import DetEval
+    de = DetEval(4)
+    yds.gt_for_eval(de)
+    dds.gt_for_eval(de)
+    assert len(de._gts) > 0
+
+
 def test_eval_loader_pads_tail(coco_ds):
     pipe = EvalPipeline(coco_ds, 64)
     loader = EvalLoader(pipe, batch_size=3, num_workers=2)
