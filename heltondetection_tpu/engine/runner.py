@@ -223,6 +223,10 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
     logger.info("training %s: %d epochs x %d steps", cfg.name,
                 cfg.train.epochs, steps_per_epoch)
+    # SURVEY.md §5 tracing: jax.profiler capture behind an env flag
+    trace_dir = os.environ.get("HELTON_PROFILE_DIR")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best = {}
     for epoch in range(start_epoch, cfg.train.epochs):
@@ -269,13 +273,17 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                             stats["AP"], stats["AP50"])
                 best = stats if stats.get("AP", 0) >= best.get("AP", -1) \
                     else best
+    if trace_dir:
+        jax.profiler.stop_trace()
     tb.close()
     return best
 
 
 def run_test(cfg: ExperimentConfig, source: str,
              out_path: Optional[str] = None) -> Dict:
-    """--mode test: image or video inference with rendering (+TTA)."""
+    """--mode test: image or video inference with rendering (+TTA); with
+    ``test.save_heatmaps`` also writes the per-FPN-level heatmap and
+    objectness-map panels (the reference's demo/1.jpg, demo/2.jpg style)."""
     from heltondetection_tpu.engine.infer import Detector
     ds_names = cfg.data.class_names
     model = build_model(cfg.model, cfg.model.num_classes)
@@ -289,4 +297,24 @@ def run_test(cfg: ExperimentConfig, source: str,
     if ext in (".mp4", ".avi", ".mov", ".mkv"):
         n = det.infer_video_file(source, out_path or "out.mp4", ds_names)
         return {"frames": n}
-    return det.infer_image_file(source, out_path, ds_names)
+    result = det.infer_image_file(source, out_path, ds_names)
+    if cfg.test.save_heatmaps and cfg.model.family == "yolov5" and out_path:
+        import cv2
+        from heltondetection_tpu.data.augment import letterbox_np
+        from heltondetection_tpu.data.readers import imread_rgb
+        from heltondetection_tpu.utils.vis import (feature_heatmaps,
+                                                   objectness_maps)
+        img = imread_rgb(source)
+        lb, _, _ = letterbox_np(img, np.zeros((0, 4), np.float32),
+                                cfg.model.img_size)
+        raws = model.apply(variables,
+                           jnp.asarray(lb, jnp.float32)[None] / 255.0,
+                           train=False)
+        raws0 = [np.asarray(r[0]) for r in raws]
+        stem = os.path.splitext(out_path)[0]
+        hm = feature_heatmaps(lb, raws0)
+        cv2.imwrite(stem + "_heatmaps.png", cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
+        om = objectness_maps(lb, raws0, cfg.model.num_classes)
+        cv2.imwrite(stem + "_objmaps.png", cv2.cvtColor(om, cv2.COLOR_RGB2BGR))
+        result["heatmaps"] = stem + "_heatmaps.png"
+    return result

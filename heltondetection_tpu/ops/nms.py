@@ -160,6 +160,71 @@ def nms_mask_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# fused fixpoint kernel: S-matrix built in VMEM + in-VMEM iteration
+# ---------------------------------------------------------------------------
+
+def _nms_fixpoint_kernel(boxes_ref, out_ref, s_buf, *, n: int,
+                         iou_thres: float, iters: int):
+    """One image per grid program. Builds the thresholded lower-triangular
+    suppression matrix S (i suppresses j, i<j) in VMEM, then iterates
+    K ← ¬(K·S) — entirely on-chip, so the S matrix never round-trips to
+    HBM between iterations (the XLA while_loop variant re-reads it every
+    pass).
+
+    Exactness: row j only depends on rows <j, so after k iterations the
+    first k rows are final (monotone prefix convergence); ``iters``
+    iterations are exact for suppression chains up to that depth (detector
+    outputs converge in <10; tests pin equality vs the sequential scan).
+    """
+    x1 = boxes_ref[0, 0, :]
+    y1 = boxes_ref[0, 1, :]
+    x2 = boxes_ref[0, 2, :]
+    y2 = boxes_ref[0, 3, :]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    iw = jnp.maximum(jnp.minimum(x2[:, None], x2[None, :]) -
+                     jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+    ih = jnp.maximum(jnp.minimum(y2[:, None], y2[None, :]) -
+                     jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+    inter = iw * ih
+    union = area[:, None] + area[None, :] - inter + 1e-7
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    s_buf[:, :] = ((inter > iou_thres * union) & (col > row)
+                   ).astype(jnp.float32)
+
+    def body(i, keep):
+        sup = jnp.dot(keep, s_buf[:, :],
+                      preferred_element_type=jnp.float32)   # (1, n)
+        return jnp.where(sup > 0.5, 0.0, 1.0)
+
+    keep = jax.lax.fori_loop(0, iters, body,
+                             jnp.ones((1, n), jnp.float32))
+    out_ref[0, 0, :] = keep[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "iters"))
+def nms_mask_fixpoint_pallas(boxes: jnp.ndarray, iou_thres: float = 0.65,
+                             iters: int = 32) -> jnp.ndarray:
+    """Batched fused fixpoint NMS: boxes (B, N, 4) score-sorted → keep
+    (B, N) bool. N must be a multiple of 128."""
+    b, n, _ = boxes.shape
+    assert n % 128 == 0, f"NMS size {n} must be a multiple of 128 lanes"
+    boxes_t = jnp.swapaxes(boxes, 1, 2).astype(jnp.float32)  # (B, 4, N)
+    out = pl.pallas_call(
+        functools.partial(_nms_fixpoint_kernel, n=n,
+                          iou_thres=float(iou_thres), iters=iters),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        in_specs=[pl.BlockSpec((1, 4, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+    )(boxes_t)
+    return out[:, 0, :] > 0.5
+
+
+# ---------------------------------------------------------------------------
 # public postprocess entry
 # ---------------------------------------------------------------------------
 

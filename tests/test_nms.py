@@ -88,6 +88,21 @@ def test_nms_fixpoint_under_vmap():
         np.testing.assert_array_equal(got[i], expect)
 
 
+def test_nms_fixpoint_pallas_matches_sequential_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    bs = []
+    for seed in range(4):
+        boxes, scores = _rand_boxes(128, seed=seed, size=250)
+        order = np.argsort(-scores, kind="stable")
+        bs.append(boxes[order])
+    batch = jnp.asarray(np.stack(bs))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(N.nms_mask_fixpoint_pallas(batch, 0.5, iters=128))
+    for i in range(4):
+        expect = np.asarray(N.nms_mask_jnp(batch[i], None, 0.5))
+        np.testing.assert_array_equal(got[i], expect)
+
+
 def test_nms_pallas_matches_jnp_interpret():
     from jax.experimental.pallas import tpu as pltpu
     boxes, scores = _rand_boxes(128, seed=3)
