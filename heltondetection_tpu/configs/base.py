@@ -38,6 +38,7 @@ class ModelConfig:
     roi_method: str = "align"         # align | pool
     freeze_backbone: bool = False     # README.md:132
     dropblock_p: float = 0.0          # README.md:97,131 ablations
+    roi_levels: int = 4               # 1 = "P2" head variants (README.md:65)
 
 
 @dataclass

@@ -140,13 +140,61 @@ def mosaic4(samples: Sequence[Dict], dst: int, rng: np.random.Generator,
     return canvas, boxes.astype(np.float32), classes
 
 
+def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+                  rng: np.random.Generator, *, degrees: float = 0.0,
+                  translate: float = 0.1, scale: float = 0.5,
+                  shear: float = 0.0, pad_value: int = 114,
+                  min_box: float = 2.0):
+    """YOLOv5-style random affine (rotate/scale/translate/shear) applied
+    after mosaic (lineage utils/augmentations.py random_perspective; the
+    reference's '丰富的数据增强方法' README.md:10). Box labels are transformed by
+    mapping all 4 corners and taking the axis-aligned hull, then filtered
+    by size and clip like the lineage code."""
+    h, w = img.shape[:2]
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    rot = cv2.getRotationMatrix2D((w / 2, h / 2), a, s)    # 2x3
+    rot[0, 2] += rng.uniform(0.5 - translate, 0.5 + translate) * w - w / 2
+    rot[1, 2] += rng.uniform(0.5 - translate, 0.5 + translate) * h - h / 2
+    if shear:
+        sh_x = np.tan(np.radians(rng.uniform(-shear, shear)))
+        sh_y = np.tan(np.radians(rng.uniform(-shear, shear)))
+        shear_m = np.array([[1, sh_x, 0], [sh_y, 1, 0]], np.float64)
+        rot = shear_m @ np.vstack([rot, [0, 0, 1]])
+    out = cv2.warpAffine(img, rot, (w, h),
+                         borderValue=(pad_value,) * 3)
+    if len(boxes) == 0:
+        return out, boxes, classes
+    n = len(boxes)
+    corners = np.ones((n * 4, 3))
+    corners[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(n * 4, 2)
+    warped = corners @ rot.T                               # (4n, 2)
+    warped = warped.reshape(n, 8)
+    xs = warped[:, [0, 2, 4, 6]]
+    ys = warped[:, [1, 3, 5, 7]]
+    new = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+    # candidate filter (lineage box_candidates): size + area ratio
+    w_new = new[:, 2] - new[:, 0]
+    h_new = new[:, 3] - new[:, 1]
+    w_old = (boxes[:, 2] - boxes[:, 0]) * s
+    h_old = (boxes[:, 3] - boxes[:, 1]) * s
+    ar = np.maximum(w_new / (h_new + 1e-9), h_new / (w_new + 1e-9))
+    keep = (w_new > min_box) & (h_new > min_box) & \
+           (w_new * h_new / (w_old * h_old + 1e-9) > 0.1) & (ar < 100)
+    return out, new[keep].astype(np.float32), classes[keep]
+
+
 class TrainPipeline:
     """Per-sample train-time augmentation: mosaic(p) → HSV → flip(0.5) →
     letterbox (non-mosaic path) → cxcywh targets in input pixels."""
 
     def __init__(self, dataset, img_size: int, *, mosaic_p: float = 0.5,
                  hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
-                 seed: int = 0):
+                 seed: int = 0, affine: bool = True,
+                 affine_scale: float = 0.5, affine_translate: float = 0.1,
+                 degrees: float = 0.0):
         self.ds = dataset
         self.img_size = img_size
         self.mosaic_p = mosaic_p
@@ -154,6 +202,10 @@ class TrainPipeline:
         self.flip_p = flip_p
         self.max_boxes = max_boxes
         self.seed = seed
+        self.affine = affine
+        self.affine_scale = affine_scale
+        self.affine_translate = affine_translate
+        self.degrees = degrees
 
     def __len__(self):
         return len(self.ds)
@@ -167,6 +219,11 @@ class TrainPipeline:
             samples = [self.ds.load(idx)] + [self.ds.load(int(j))
                                              for j in others]
             img, boxes, classes = mosaic4(samples, s, rng)
+            if self.affine:  # lineage: random_perspective follows mosaic
+                img, boxes, classes = random_affine(
+                    img, boxes, classes, rng, degrees=self.degrees,
+                    translate=self.affine_translate,
+                    scale=self.affine_scale)
         else:
             raw = self.ds.load(idx)
             img, boxes, _ = letterbox_np(raw["image"], raw["boxes"], s)

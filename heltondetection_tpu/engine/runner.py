@@ -59,7 +59,8 @@ def build_model(mc, num_classes: int):
         rcfg = RCNNConfig(num_classes=num_classes, img_size=mc.img_size,
                           neck=mc.neck, head=mc.head,
                           roi_method=mc.roi_method,
-                          dropblock_p=mc.dropblock_p)
+                          dropblock_p=mc.dropblock_p,
+                          roi_levels=mc.roi_levels)
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
 

@@ -67,6 +67,8 @@ class RCNNConfig(NamedTuple):
     max_gt: int = 64
     dropblock_p: float = 0.0   # DropBlock on pooled head features
     # (reference DDP_dropBlock0.5 ablation, README.md:97)
+    roi_levels: int = 4        # pyramid levels the box head pools from;
+    # 1 = the reference's "P2" variants (head uses only P2, README.md:65)
 
 
 STRIDES = (4, 8, 16, 32, 64)            # P2..P6
@@ -186,7 +188,8 @@ class FasterRCNN(nn.Module):
         P6 is excluded from pooling like torchvision MultiScaleRoIAlign
         (featmap_names P2..P5 only).
         """
-        crops = multilevel_roi_align(list(pyr[:4]), rois, STRIDES[:4],
+        nl = self.cfg.roi_levels
+        crops = multilevel_roi_align(list(pyr[:nl]), rois, STRIDES[:nl],
                                      out_size=7, method=self.cfg.roi_method)
         if self.cfg.dropblock_p > 0:
             from heltondetection_tpu.models.dropblock import DropBlock

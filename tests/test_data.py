@@ -3,7 +3,8 @@ import pytest
 
 from heltondetection_tpu.data.augment import (EvalPipeline, TrainPipeline,
                                               horizontal_flip, letterbox_np,
-                                              mosaic4, random_hsv)
+                                              mosaic4, random_affine,
+                                              random_hsv)
 from heltondetection_tpu.data.loader import EvalLoader, TrainLoader
 from heltondetection_tpu.data.readers import (COCODataset, DOTADataset,
                                               YOLODataset)
@@ -125,6 +126,25 @@ def test_train_loader_shapes_and_determinism(coco_ds):
     np.testing.assert_array_equal(batches[0]["image"], batches1[0]["image"])
     np.testing.assert_array_equal(batches[1]["gt_boxes"],
                                   batches1[1]["gt_boxes"])
+
+
+def test_random_affine_identity_and_jitter():
+    rng_id = np.random.default_rng(0)
+    img = rng_id.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 40, 40]], np.float32)
+    classes = np.array([1], np.int32)
+    # zero-jitter affine ≈ identity
+    out, b, c = random_affine(img, boxes, classes, rng_id, translate=0.0,
+                              scale=0.0, degrees=0.0)
+    np.testing.assert_allclose(b, boxes, atol=0.6)
+    np.testing.assert_array_equal(c, classes)
+    # jittered: boxes stay in canvas and valid
+    rng2 = np.random.default_rng(1)
+    out2, b2, c2 = random_affine(img, boxes, classes, rng2, translate=0.1,
+                                 scale=0.5)
+    if len(b2):
+        assert (b2 >= 0).all() and (b2 <= 64).all()
+        assert (b2[:, 2] > b2[:, 0]).all()
 
 
 def test_train_pipeline_on_yolo_and_dota(tmp_path):

@@ -163,6 +163,16 @@ def test_faster_rcnn_infer_shapes(rcnn_setup):
     assert np.isfinite(np.asarray(ob)).all()
 
 
+def test_p2_only_head_variant():
+    """roi_levels=1 → the reference's FPNP2 head (README.md:65,74)."""
+    cfg = small_cfg(roi_levels=1)
+    model = FasterRCNN(cfg)
+    variables = init_faster_rcnn(model, jax.random.PRNGKey(0), cfg.img_size)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    out = faster_rcnn_infer(model, variables, x, cfg)
+    assert out[0].shape == (1, cfg.max_det, 4)
+
+
 def test_decoupled_head_variant():
     cfg = small_cfg(head="decoupled", neck="pafpn_v8")
     model = FasterRCNN(cfg)
