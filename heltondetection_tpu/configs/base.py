@@ -53,6 +53,7 @@ class TrainConfig:
     mosaic_p: float = 0.5
     hsv: bool = True
     flip_p: float = 0.5
+    device_aug: bool = False   # mosaic/flip/HSV as fused on-device XLA ops
     ema: bool = True
     focal: str = "none"               # none | root | root_cls (README.md:117)
     label_smoothing: float = 0.0

@@ -249,6 +249,45 @@ class TrainPipeline:
         return {"image": img, "gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
 
 
+class DeviceAugPipeline:
+    """Host half of the on-device augmentation path (device_aug.py): per
+    sample, letterbox 4 tiles (self + 3 seeded-random others) to the train
+    size and emit raw uint8 stacks; ALL randomness beyond tile choice
+    (mosaic coin, crop offset, flip, color jitter) happens on device."""
+
+    def __init__(self, dataset, img_size: int, *, max_boxes: int = 32,
+                 seed: int = 0):
+        self.ds = dataset
+        self.img_size = img_size
+        self.max_boxes = max_boxes
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.ds)
+
+    def sample(self, idx: int, epoch: int = 0) -> Dict:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        s = self.img_size
+        m = self.max_boxes
+        ids = [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
+        images = np.empty((4, s, s, 3), np.uint8)
+        boxes4 = np.zeros((4, m, 4), np.float32)
+        cls4 = np.zeros((4, m), np.int32)
+        mask4 = np.zeros((4, m), bool)
+        for t, j in enumerate(ids):
+            raw = self.ds.load(j)
+            img, b, _ = letterbox_np(raw["image"], raw["boxes"], s)
+            images[t] = img
+            n = min(len(raw["classes"]), m)
+            if n:
+                boxes4[t, :n] = b[:n]
+                cls4[t, :n] = raw["classes"][:n]
+                mask4[t, :n] = True
+        return {"images4": images, "boxes4": boxes4, "cls4": cls4,
+                "mask4": mask4}
+
+
 class EvalPipeline:
     """Eval-time preprocessing: letterbox only (SURVEY.md §3.2), keeping the
     inverse-transform metadata the evaluator needs."""

@@ -45,13 +45,16 @@ class TrainLoader:
     (static batch shape is non-negotiable under jit).
     """
 
+    KEYS = ("image", "gt_boxes", "gt_cls", "gt_mask")
+
     def __init__(self, pipeline, batch_size: int, *, seed: int = 0,
-                 num_workers: int = 8, prefetch: int = 4):
+                 num_workers: int = 8, prefetch: int = 4, keys=None):
         self.pipe = pipeline
         self.batch_size = batch_size
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.keys = keys or self.KEYS
 
     def steps_per_epoch(self) -> int:
         return len(self.pipe) // self.batch_size
@@ -60,7 +63,7 @@ class TrainLoader:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
         order = rng.permutation(len(self.pipe))
         n_batches = self.steps_per_epoch()
-        keys = ("image", "gt_boxes", "gt_cls", "gt_mask")
+        keys = self.keys
 
         def make_batch(bi: int) -> Dict[str, Any]:
             idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]

@@ -163,11 +163,24 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     cfg.model.num_classes = nc
     model = build_model(cfg.model, nc)
 
-    pipe = TrainPipeline(ds, cfg.model.img_size, mosaic_p=cfg.train.mosaic_p,
-                         hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
-                         max_boxes=cfg.data.max_boxes, seed=cfg.train.seed)
-    loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
-                         num_workers=cfg.train.num_workers)
+    device_aug = cfg.train.device_aug and cfg.model.family == "yolov5"
+    if device_aug:
+        from heltondetection_tpu.data.augment import DeviceAugPipeline
+        pipe = DeviceAugPipeline(ds, cfg.model.img_size,
+                                 max_boxes=cfg.data.max_boxes,
+                                 seed=cfg.train.seed)
+        loader = TrainLoader(pipe, cfg.train.batch_size,
+                             seed=cfg.train.seed,
+                             num_workers=cfg.train.num_workers,
+                             keys=("images4", "boxes4", "cls4", "mask4"))
+    else:
+        pipe = TrainPipeline(ds, cfg.model.img_size,
+                             mosaic_p=cfg.train.mosaic_p,
+                             hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                             max_boxes=cfg.data.max_boxes,
+                             seed=cfg.train.seed)
+        loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
+                             num_workers=cfg.train.num_workers)
     steps_per_epoch = max(loader.steps_per_epoch(), 1)
     total_steps = steps_per_epoch * cfg.train.epochs
     tx = make_optimizer(cfg.train.lr, total_steps=total_steps,
@@ -198,8 +211,24 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                                   img_size=cfg.model.img_size,
                                   focal=cfg.train.focal,
                                   label_smoothing=cfg.train.label_smoothing)
-        step_fn = jax.jit(make_train_step(model, tx, loss_cfg,
-                                          use_ema=cfg.train.ema))
+        base_step = make_train_step(model, tx, loss_cfg,
+                                    use_ema=cfg.train.ema)
+        if device_aug:
+            from heltondetection_tpu.data.device_aug import \
+                device_augment_batch
+            aug_key = jax.random.PRNGKey(cfg.train.seed + 7)
+
+            def step_fn(state, batch):
+                r = jax.random.fold_in(aug_key, state.step)
+                aug = device_augment_batch(batch, r,
+                                           mosaic_p=cfg.train.mosaic_p,
+                                           flip_p=cfg.train.flip_p,
+                                           hsv=cfg.train.hsv)
+                return base_step(state, aug)
+
+            step_fn = jax.jit(step_fn)
+        else:
+            step_fn = jax.jit(base_step)
 
     if cfg.train.pretrain_ckpt:  # transfer init (README.md:79)
         params = ckpt_io.load_params_for_transfer(cfg.train.pretrain_ckpt,
@@ -236,7 +265,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         n_steps = 0
         for batch in loader.epoch(epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch["image"] = device_prep(batch["image"])
+            if not device_aug:
+                batch["image"] = device_prep(batch["image"])
             if is_rcnn:
                 from heltondetection_tpu.ops.boxes import cxcywh_to_xyxy
                 batch["gt_boxes_xyxy"] = cxcywh_to_xyxy(batch.pop("gt_boxes"))
