@@ -25,26 +25,24 @@ ITERS = 20
 
 
 def main():
-    from heltondetection_tpu.models.yolov5 import build_yolov5, decode_full
-    from heltondetection_tpu.engine.evaluator import make_postprocess
+    from heltondetection_tpu.models.yolov5 import build_yolov5
+    from heltondetection_tpu.engine.evaluator import make_packed_serve_step
 
     nc = 80
     model = build_yolov5("s", num_classes=nc, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((BATCH, 640, 640, 3), jnp.uint8)
+    x0 = jnp.zeros((1, 640, 640, 3), jnp.uint8)
     variables = model.init(jax.random.PRNGKey(0),
                            x0.astype(jnp.float32), train=False)
-    post = make_postprocess(nc, conf_thres=0.001, iou_thres=0.65,
-                            pre_nms_topk=1024, max_det=300)
+    # fused packed-head serve path: the same step the evaluator runs
+    step = make_packed_serve_step(model, variables, nc, conf_thres=0.001,
+                                  iou_thres=0.65, pre_nms_topk=1024)
 
     @jax.jit
-    def serve(variables, images_u8):
+    def serve(images_u8):
         # returns a scalar so the end-of-run fetch forces completion of the
         # whole pipelined run (block_until_ready is unreliable through the
         # axon tunnel; a data fetch is the only trustworthy sync)
-        images = images_u8.astype(jnp.float32) / 255.0
-        outs = model.apply(variables, images, train=False)
-        boxes, obj, cls = decode_full(outs, nc)
-        dets = post(boxes, obj, cls)
+        dets = step(images_u8)
         return dets[1].astype(jnp.float32).sum()
 
     rng = np.random.default_rng(0)
@@ -55,12 +53,12 @@ def main():
     for w in range(WARMUP):
         acc = jnp.zeros(())
         for k in range(4):
-            acc = acc + serve(variables, inputs[k])
+            acc = acc + serve(inputs[k])
         float(acc)
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for k in range(ITERS):
-        acc = acc + serve(variables, inputs[k % 4])
+        acc = acc + serve(inputs[k % 4])
     float(acc)  # single sync at the end of the pipelined run
     dt = (time.perf_counter() - t0) / ITERS
     img_s = BATCH / dt

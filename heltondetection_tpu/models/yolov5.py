@@ -28,6 +28,12 @@ from heltondetection_tpu.ops.anchors import (YOLOV5_ANCHORS, YOLOV5_STRIDES,
                                              yolo_grid)
 
 
+def packed_cls_width(num_classes: int) -> int:
+    """Lane-padded per-anchor block width for the packed serve head:
+    fits C class logits + 5 box/obj logits, rounded up to 128 lanes."""
+    return max(128, -(-(num_classes + 5) // 128) * 128)
+
+
 class YOLOv5(nn.Module):
     num_classes: int = 80
     depth_multiple: float = 0.33
@@ -35,14 +41,28 @@ class YOLOv5(nn.Module):
     num_anchors: int = 3
     dtype: Any = jnp.float32
     dropblock_p: float = 0.0
+    packed_head: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = False):
         """Returns raw per-level maps [(B, Hl, Wl, A*(5+C)) for l in 3 levels].
 
         Output convs run in float32 regardless of compute dtype — the loss
         and decode are precision-sensitive (sigmoid saturation in bf16 costs
         mAP tenths, which blows the 0.3-pt parity budget, SURVEY.md §7).
+
+        ``packed_head=True`` is the SERVE layout (weights mapped from a
+        standard checkpoint by :func:`pack_head_variables`): per level the
+        head emits ``(pobj (B,H,W,A) f32, pcand (B,H,W,A*CP) bf16)``.
+        pobj carries only the objectness logits — the postprocess ranks
+        stage-1 candidates by σ(obj), mirroring Ultralytics v6.1's own
+        candidate pre-filter (`prediction[..., 4] > conf_thres`), with no
+        reduction over the big class tensor at all. pcand packs, per
+        anchor, ``[cls₀..cls_{C-1}, tx, ty, tw, th, obj, pad(−20)]`` into a
+        lane-aligned CP-wide block so the per-candidate gather is ONE
+        aligned bf16 gather. The standard layout interleaves 85-wide
+        anchor blocks in the channel dim, which forces an expensive lane
+        relayout before any TPU postprocess op (ops/postprocess.py).
         """
         backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
                               dtype=self.dtype,
@@ -50,13 +70,70 @@ class YOLOv5(nn.Module):
         neck = PAFPNv5(self.depth_multiple, self.width_multiple,
                        dtype=self.dtype, name="neck")
         feats = neck(backbone(x, train), train)
-        no = self.num_anchors * (5 + self.num_classes)
+        a = self.num_anchors
         outs = []
+        if self.packed_head:
+            cp = packed_cls_width(self.num_classes)
+            for i, f in enumerate(feats):
+                f32 = f.astype(jnp.float32)
+                pobj = nn.Conv(a, (1, 1), dtype=jnp.float32,
+                               name=f"detect{i}_obj")(f32)
+                pcand = nn.Conv(a * cp, (1, 1), dtype=jnp.float32,
+                                name=f"detect{i}_cand")(f32)
+                outs.append((pobj, pcand.astype(jnp.bfloat16)))
+            return outs
+        no = a * (5 + self.num_classes)
         for i, f in enumerate(feats):
             y = nn.Conv(no, (1, 1), dtype=jnp.float32,
                         name=f"detect{i}")(f.astype(jnp.float32))
             outs.append(y)
         return outs
+
+
+def pack_head_variables(variables, num_classes: int,
+                        num_anchors: int = 3):
+    """Map a standard checkpoint's variables to the packed-head layout.
+
+    detect{i}: kernel (1,1,cin, A*(5+C)) with channel a*(5+C)+j →
+      detect{i}_obj  kernel (1,1,cin, A), channel a = obj logit (j=4)
+      detect{i}_cand kernel (1,1,cin, A*CP), per-anchor CP-lane block
+        [cls₀..cls_{C-1}, tx, ty, tw, th, obj, pad]; pad channels get
+        zero kernel and bias −20 (σ≈2e-9, inert under any threshold).
+    Pure host-side reshuffle; mathematically identical logits.
+    """
+    import numpy as np
+    params = dict(variables["params"])
+    cp = packed_cls_width(num_classes)
+    blk = 5 + num_classes
+    for i in range(3):
+        name = f"detect{i}"
+        if name not in params:
+            break
+        k = np.asarray(params[name]["kernel"])   # (1,1,cin,A*blk)
+        b = np.asarray(params[name]["bias"])
+        ko = np.zeros(k.shape[:3] + (num_anchors,), k.dtype)
+        bo = np.zeros((num_anchors,), b.dtype)
+        kc = np.zeros(k.shape[:3] + (num_anchors * cp,), k.dtype)
+        bc = np.full((num_anchors * cp,), -20.0, b.dtype)
+        for a in range(num_anchors):
+            ko[..., a] = k[..., a * blk + 4]
+            bo[a] = b[a * blk + 4]
+            # [cls..., tx, ty, tw, th, obj]
+            kc[..., a * cp:a * cp + num_classes] = \
+                k[..., a * blk + 5:a * blk + blk]
+            bc[a * cp:a * cp + num_classes] = b[a * blk + 5:a * blk + blk]
+            kc[..., a * cp + num_classes:a * cp + num_classes + 5] = \
+                k[..., a * blk:a * blk + 5]
+            bc[a * cp + num_classes:a * cp + num_classes + 5] = \
+                b[a * blk:a * blk + 5]
+        del params[name]
+        params[f"{name}_obj"] = {"kernel": jnp.asarray(ko),
+                                 "bias": jnp.asarray(bo)}
+        params[f"{name}_cand"] = {"kernel": jnp.asarray(kc),
+                                  "bias": jnp.asarray(bc)}
+    out = dict(variables)
+    out["params"] = params
+    return out
 
 
 def decode_predictions(raw: Sequence[jnp.ndarray], num_classes: int,
@@ -118,7 +195,7 @@ def decode_full(raw: Sequence[jnp.ndarray], num_classes: int,
 
 
 def build_yolov5(variant: str = "s", num_classes: int = 80,
-                 dtype=jnp.float32) -> YOLOv5:
+                 dtype=jnp.float32, packed_head: bool = False) -> YOLOv5:
     d, w = VARIANTS[variant]
     return YOLOv5(num_classes=num_classes, depth_multiple=d,
-                  width_multiple=w, dtype=dtype)
+                  width_multiple=w, dtype=dtype, packed_head=packed_head)
