@@ -53,7 +53,8 @@ class YOLOv5(nn.Module):
 
         ``packed_head=True`` is the SERVE layout (weights mapped from a
         standard checkpoint by :func:`pack_head_variables`): per level the
-        head emits ``(pobj (B,H,W,A) f32, pcand (B,H,W,A*CP) bf16)``.
+        head emits ``(pobj (B,A·HW) f32, [pcand_a (B,HW,CP) bf16 per
+        anchor], (h,w))``, flat in ANCHOR-MAJOR (a, y, x) row order.
         pobj carries only the objectness logits — the postprocess ranks
         stage-1 candidates by σ(obj), mirroring Ultralytics v6.1's own
         candidate pre-filter (`prediction[..., 4] > conf_thres`), with no
@@ -73,14 +74,22 @@ class YOLOv5(nn.Module):
         a = self.num_anchors
         outs = []
         if self.packed_head:
+            # 1x1 convs expressed as explicit (B·HW, cin) matmuls, ONE
+            # CP-wide matmul PER ANCHOR, so every candidate row is born as
+            # exactly 128 aligned lanes in flat (a-major) row order — XLA's
+            # conv layout assignment otherwise inserts ~4 ms of relayout
+            # copies at B=128 before the postprocess gather
             cp = packed_cls_width(self.num_classes)
             for i, f in enumerate(feats):
-                f32 = f.astype(jnp.float32)
-                pobj = nn.Conv(a, (1, 1), dtype=jnp.float32,
-                               name=f"detect{i}_obj")(f32)
-                pcand = nn.Conv(a * cp, (1, 1), dtype=jnp.float32,
-                                name=f"detect{i}_cand")(f32)
-                outs.append((pobj, pcand.astype(jnp.bfloat16)))
+                b, h, w, cin = f.shape
+                f2 = f.astype(jnp.float32).reshape(b, h * w, cin)
+                pobj = nn.Dense(a, dtype=jnp.float32,
+                                name=f"detect{i}_obj")(f2)
+                pobj = jnp.swapaxes(pobj, 1, 2).reshape(b, a * h * w)
+                pcand = [nn.Dense(cp, dtype=jnp.float32,
+                                  name=f"detect{i}_cand{j}")(f2)
+                         .astype(jnp.bfloat16) for j in range(a)]
+                outs.append((pobj, pcand, (h, w)))
             return outs
         no = a * (5 + self.num_classes)
         for i, f in enumerate(feats):
@@ -95,8 +104,8 @@ def pack_head_variables(variables, num_classes: int,
     """Map a standard checkpoint's variables to the packed-head layout.
 
     detect{i}: kernel (1,1,cin, A*(5+C)) with channel a*(5+C)+j →
-      detect{i}_obj  kernel (1,1,cin, A), channel a = obj logit (j=4)
-      detect{i}_cand kernel (1,1,cin, A*CP), per-anchor CP-lane block
+      detect{i}_obj  Dense kernel (cin, A), channel a = obj logit (j=4)
+      detect{i}_cand{a} Dense kernel (cin, CP), the anchor's CP-lane block
         [cls₀..cls_{C-1}, tx, ty, tw, th, obj, pad]; pad channels get
         zero kernel and bias −20 (σ≈2e-9, inert under any threshold).
     Pure host-side reshuffle; mathematically identical logits.
@@ -109,28 +118,25 @@ def pack_head_variables(variables, num_classes: int,
         name = f"detect{i}"
         if name not in params:
             break
-        k = np.asarray(params[name]["kernel"])   # (1,1,cin,A*blk)
+        k = np.asarray(params[name]["kernel"])[0, 0]   # (cin, A*blk)
         b = np.asarray(params[name]["bias"])
-        ko = np.zeros(k.shape[:3] + (num_anchors,), k.dtype)
+        ko = np.zeros(k.shape[:1] + (num_anchors,), k.dtype)
         bo = np.zeros((num_anchors,), b.dtype)
-        kc = np.zeros(k.shape[:3] + (num_anchors * cp,), k.dtype)
-        bc = np.full((num_anchors * cp,), -20.0, b.dtype)
+        del params[name]
         for a in range(num_anchors):
             ko[..., a] = k[..., a * blk + 4]
             bo[a] = b[a * blk + 4]
-            # [cls..., tx, ty, tw, th, obj]
-            kc[..., a * cp:a * cp + num_classes] = \
-                k[..., a * blk + 5:a * blk + blk]
-            bc[a * cp:a * cp + num_classes] = b[a * blk + 5:a * blk + blk]
-            kc[..., a * cp + num_classes:a * cp + num_classes + 5] = \
-                k[..., a * blk:a * blk + 5]
-            bc[a * cp + num_classes:a * cp + num_classes + 5] = \
-                b[a * blk:a * blk + 5]
-        del params[name]
+            # per-anchor CP-wide block: [cls..., tx, ty, tw, th, obj, pad]
+            kc = np.zeros(k.shape[:1] + (cp,), k.dtype)
+            bc = np.full((cp,), -20.0, b.dtype)
+            kc[..., :num_classes] = k[..., a * blk + 5:a * blk + blk]
+            bc[:num_classes] = b[a * blk + 5:a * blk + blk]
+            kc[..., num_classes:num_classes + 5] = k[..., a * blk:a * blk + 5]
+            bc[num_classes:num_classes + 5] = b[a * blk:a * blk + 5]
+            params[f"{name}_cand{a}"] = {"kernel": jnp.asarray(kc),
+                                         "bias": jnp.asarray(bc)}
         params[f"{name}_obj"] = {"kernel": jnp.asarray(ko),
                                  "bias": jnp.asarray(bo)}
-        params[f"{name}_cand"] = {"kernel": jnp.asarray(kc),
-                                  "bias": jnp.asarray(bc)}
     out = dict(variables)
     out["params"] = params
     return out

@@ -43,10 +43,13 @@ _MAX_WH = 8192.0  # class-offset stride (same constant as ops/nms.py)
 @functools.lru_cache(maxsize=16)
 def _flat_decode_tables(img_hw: Tuple[int, int],
                         anchors=YOLOV5_ANCHORS,
-                        strides=YOLOV5_STRIDES
+                        strides=YOLOV5_STRIDES,
+                        order: str = "yxa",
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-flat-anchor constants in decode_full's (level, y, x, a) order:
-    grid_xy (N, 2), anchor_wh (N, 2), stride (N,)."""
+    """Per-flat-anchor constants: grid_xy (N, 2), anchor_wh (N, 2),
+    stride (N,). ``order="yxa"`` matches decode_full's (level, y, x, a)
+    flattening; ``"ayx"`` matches the packed head's anchor-major
+    (level, a, y, x) flattening."""
     gxy, awh, st = [], [], []
     h_in, w_in = img_hw
     for lvl, s in enumerate(strides):
@@ -55,8 +58,12 @@ def _flat_decode_tables(img_hw: Tuple[int, int],
         na = len(a)
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         g = np.stack([xs, ys], -1).astype(np.float32)      # (h, w, 2) x,y
-        gxy.append(np.repeat(g.reshape(-1, 2), na, axis=0))
-        awh.append(np.tile(a, (h * w, 1)))
+        if order == "yxa":
+            gxy.append(np.repeat(g.reshape(-1, 2), na, axis=0))
+            awh.append(np.tile(a, (h * w, 1)))
+        else:                                              # a-major
+            gxy.append(np.tile(g.reshape(-1, 2), (na, 1)))
+            awh.append(np.repeat(a, h * w, axis=0))
         st.append(np.full((h * w * na,), s, np.float32))
     return (np.concatenate(gxy), np.concatenate(awh), np.concatenate(st))
 
@@ -185,17 +192,23 @@ def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
     c = num_classes
     cp = packed_cls_width(c)
     b = packed[0][0].shape[0]
-    img_hw = (packed[0][0].shape[1] * strides[0],
-              packed[0][0].shape[2] * strides[0])
+    h0, w0 = packed[0][2]
+    img_hw = (h0 * strides[0], w0 * strides[0])
 
-    obj_parts, cand_parts = [], []
-    for lvl, (pobj, pcand) in enumerate(packed):
-        _, h, w, _ = pobj.shape
-        na = len(anchors[lvl])
-        obj_parts.append(pobj.reshape(b, h * w * na))      # (y,x,a) order
-        cand_parts.append(pcand.reshape(b, h * w * na, cp))
-    obj_logit = jnp.concatenate(obj_parts, axis=1)         # (B, N) f32
-    cand_flat = jnp.concatenate(cand_parts, axis=1)        # (B, N, CP) bf16
+    # per-level (pobj (B, A·HW) f32, [pcand_a (B, HW, CP) bf16], (h, w)),
+    # anchor-major (a, y, x) row order (models/yolov5.py packed head).
+    # The flat candidate tensor is assembled with chained in-place
+    # dynamic_update_slices into a fresh buffer — a jnp.concatenate here
+    # costs an extra full read+write (~2.7 ms at B=128, 640²)
+    obj_logit = jnp.concatenate([p[0] for p in packed], axis=1)   # (B, N)
+    n = obj_logit.shape[1]
+    cand_flat = jnp.zeros((b, n, cp), jnp.bfloat16)
+    off = 0
+    for _, pcands, _hw in packed:
+        for pc in pcands:
+            cand_flat = jax.lax.dynamic_update_slice(cand_flat, pc,
+                                                     (0, off, 0))
+            off += pc.shape[1]
 
     n = obj_logit.shape[1]
     k1 = min(topk, n)
@@ -208,7 +221,7 @@ def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
     rows = jnp.take_along_axis(cand_flat, box_i[..., None], axis=1)
     box_rows = rows[..., c:c + 4].astype(jnp.float32)      # (B, k1, 4)
     gxy, awh, st = (jnp.asarray(t) for t in _flat_decode_tables(
-        img_hw, anchors, strides))
+        img_hw, anchors, strides, order="ayx"))
     g = gxy[box_i]
     aw = awh[box_i]
     s_ = st[box_i][..., None]

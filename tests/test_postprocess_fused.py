@@ -41,12 +41,15 @@ def test_pack_head_variables_logit_parity():
     for lvl in range(3):
         p = np.asarray(raw[lvl])
         po = np.asarray(praw[lvl][0])
-        pc = np.asarray(praw[lvl][1], np.float32)
+        # per-anchor list, anchor-major flat order
+        pc = np.stack([np.asarray(x, np.float32) for x in praw[lvl][1]], 1)
         b, h, w, _ = p.shape
+        assert praw[lvl][2] == (h, w)
         p5 = p.reshape(b, h, w, 3, 5 + nc)
-        np.testing.assert_allclose(po.reshape(b, h, w, 3), p5[..., 4],
+        np.testing.assert_allclose(po.reshape(b, 3, h, w),
+                                   p5[..., 4].transpose(0, 3, 1, 2),
                                    atol=1e-5)
-        pcr = pc.reshape(b, h, w, 3, cp)
+        pcr = pc.reshape(b, 3, h, w, cp).transpose(0, 2, 3, 1, 4)
         # cls and box logits match up to the bf16 cast of pcand
         np.testing.assert_allclose(pcr[..., :nc], p5[..., 5:],
                                    atol=0.05, rtol=0.02)
@@ -60,12 +63,13 @@ def _packed_synthetic(rng, b=2, nc=7, sizes=(8, 4, 2)):
     cp = packed_cls_width(nc)
     packed = []
     for s in sizes:
-        po = jnp.asarray(rng.normal(-2, 2, (b, s, s, 3)).astype(np.float32))
-        pc = np.full((b, s, s, 3 * cp), -20.0, np.float32)
-        for a in range(3):
-            pc[..., a * cp:a * cp + nc + 5] = rng.normal(
-                -1, 2, (b, s, s, nc + 5))
-        packed.append((po, jnp.asarray(pc).astype(jnp.bfloat16)))
+        po = jnp.asarray(rng.normal(-2, 2, (b, 3 * s * s)).astype(np.float32))
+        pcs = []
+        for _a in range(3):
+            pc = np.full((b, s * s, cp), -20.0, np.float32)
+            pc[..., :nc + 5] = rng.normal(-1, 2, (b, s * s, nc + 5))
+            pcs.append(jnp.asarray(pc).astype(jnp.bfloat16))
+        packed.append((po, pcs, (s, s)))
     return packed
 
 
@@ -73,10 +77,11 @@ def test_fused_pairs_scores_exact():
     rng = np.random.default_rng(1)
     nc = 7
     packed = _packed_synthetic(rng, nc=nc)
-    # topk ≥ total anchors (252) so stage-1 obj ranking truncates nothing
+    # topk ≥ total anchors (252) so stage-1 obj ranking truncates nothing.
+    # NB: close over `packed` — the per-level (h, w) entries are static
     boxes, scores, classes = jax.jit(
-        lambda p: fused_select_decode_packed(p, nc, topk=256, approx=False)
-    )(packed)
+        lambda: fused_select_decode_packed(packed, nc, topk=256,
+                                           approx=False))()
     boxes, scores, classes = (np.asarray(t) for t in (boxes, scores,
                                                       classes))
     # sorted desc
@@ -85,9 +90,10 @@ def test_fused_pairs_scores_exact():
     cp = packed_cls_width(nc)
     for i in range(boxes.shape[0]):
         obj_all, cls_all = [], []
-        for po, pc in packed:
+        for po, pcs, _hw in packed:
             obj_all.append(np.asarray(po[i]).reshape(-1))
-            cls_all.append(np.asarray(pc[i], np.float32).reshape(-1, cp)[:, :nc])
+            for pc in pcs:
+                cls_all.append(np.asarray(pc[i], np.float32)[:, :nc])
         obj_all = 1 / (1 + np.exp(-np.concatenate(obj_all)))
         cls_all = 1 / (1 + np.exp(-np.concatenate(cls_all)))
         pair = obj_all[:, None] * cls_all                  # (N, nc)
