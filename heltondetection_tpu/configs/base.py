@@ -29,6 +29,8 @@ class DataConfig:
 class ModelConfig:
     family: str = "yolov5"            # yolov5 | faster_rcnn
     variant: str = "s"                # yolov5: n/s/m/l/x
+    backbone: str = ""                # "" = family default (cspdarknet /
+    # resnet50); any models/backbones.py name swaps it (README.md:8-9,120)
     num_classes: int = 80
     img_size: int = 640
     dtype: str = "float32"            # float32 | bfloat16 (compute dtype)

@@ -1,0 +1,26 @@
+"""FasterRCNN with a CSPDarknet backbone, COCO2017 832² — the reference's
+backbone-swap row (README.md:120: "timm_cspdarknet" FasterRCNN, adamw,
+mosaic 0.5). timm is torch-only; the TPU rebuild swaps via the
+models/backbones.py registry instead (same capability, README.md:8-9)."""
+
+from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                              ExperimentConfig, ModelConfig,
+                                              TestConfig, TrainConfig)
+
+config = ExperimentConfig(
+    name="faster_rcnn_cspdarknet_coco_832",
+    data=DataConfig(
+        format="coco",
+        train_ann="datasets/coco2017/annotations/instances_train2017.json",
+        train_imgs="datasets/coco2017/train2017",
+        val_ann="datasets/coco2017/annotations/instances_val2017.json",
+        val_imgs="datasets/coco2017/val2017",
+    ),
+    model=ModelConfig(family="faster_rcnn", backbone="cspdarknet_l",
+                      num_classes=80, img_size=832, neck="pafpn_v8",
+                      head="decoupled", dtype="bfloat16"),
+    train=TrainConfig(epochs=36, batch_size=16, lr=2e-4, mosaic_p=0.5),
+    eval=EvalConfig(batch_size=8, conf_thres=0.05, iou_thres=0.5,
+                    max_det=100, multi_label=False),
+    test=TestConfig(),
+)

@@ -52,7 +52,8 @@ def build_model(mc, num_classes: int):
         d, w = VARIANTS[mc.variant]
         return YOLOv5(num_classes=num_classes, depth_multiple=d,
                       width_multiple=w, dtype=dtype,
-                      dropblock_p=mc.dropblock_p)
+                      dropblock_p=mc.dropblock_p,
+                      backbone=mc.backbone or "cspdarknet")
     if mc.family == "faster_rcnn":
         from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
                                                             RCNNConfig)
@@ -60,7 +61,8 @@ def build_model(mc, num_classes: int):
                           neck=mc.neck, head=mc.head,
                           roi_method=mc.roi_method,
                           dropblock_p=mc.dropblock_p,
-                          roi_levels=mc.roi_levels)
+                          roi_levels=mc.roi_levels,
+                          backbone=mc.backbone or "resnet50")
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
 

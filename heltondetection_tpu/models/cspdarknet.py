@@ -35,17 +35,20 @@ class CSPDarknet(nn.Module):
     dtype: Any = jnp.float32
     dropblock_p: float = 0.0   # reference DropBlock-on-backbone ablation
     # (README.md:131-132, C16)
+    include_c2: bool = False   # also return the stride-4 feature — needed
+    # when CSPDarknet backs a FasterRCNN FPN (the reference's
+    # timm_cspdarknet swap, README.md:120)
 
     @nn.compact
     def __call__(self, x, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                 ) -> Tuple[jnp.ndarray, ...]:
         w, d = self.width_multiple, self.depth_multiple
         dt = self.dtype
         # stem: 6x6 stride-2 conv, pad 2 (v6.0+)
         x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, train)
         x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, train)
-        x = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, train)
-        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(x, train)
+        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, train)
+        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, train)
         c3 = C3(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, train)
         x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, train)
         c4 = C3(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, train)
@@ -58,6 +61,8 @@ class CSPDarknet(nn.Module):
             c3 = db(c3, deterministic=not train)
             c4 = db(c4, deterministic=not train)
             c5 = db(c5, deterministic=not train)
+        if self.include_c2:
+            return c2, c3, c4, c5
         return c3, c4, c5
 
 

@@ -2,7 +2,8 @@
 
 Rebuild targets C11/C12/C13 + the two-stage stack of SURVEY.md §3.5:
 
-    imgs → ResNet50 → C2..C5 → FPN(+P6) / PAFPNv8 → P2..P6
+    imgs → backbone (ResNet50 default; registry-swappable) → C2..C5
+    → FPN(+P6) / PAFPNv8 → P2..P6
     → RPN: per-level objectness+deltas → decode → level-aware NMS → top-k
     → MultiScale RoIAlign (or RoIPool ablation) → RCNN head (coupled or
       Decoupled/YOLOX-style, README.md:75-76 +1.1 mAP) → cls + per-class
@@ -30,7 +31,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from heltondetection_tpu.models.necks import FPN, PAFPNv8
-from heltondetection_tpu.models.resnet import ResNet
 from heltondetection_tpu.ops.anchors import rpn_level_anchors
 from heltondetection_tpu.ops.boxes import (box_iou_matrix, clip_boxes,
                                            decode_deltas, encode_deltas)
@@ -65,6 +65,8 @@ class RCNNConfig(NamedTuple):
     nms_thresh: float = 0.5
     max_det: int = 100
     max_gt: int = 64
+    backbone: str = "resnet50"  # models/backbones.py registry; the
+    # reference also swaps in cspdarknet via timm (README.md:120)
     dropblock_p: float = 0.0   # DropBlock on pooled head features
     # (reference DDP_dropBlock0.5 ablation, README.md:97)
     roi_levels: int = 4        # pyramid levels the box head pools from;
@@ -150,8 +152,10 @@ class FasterRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(stage_sizes=(3, 4, 6, 3), dtype=self.dtype,
-                               name="backbone")
+        from heltondetection_tpu.models.backbones import build_backbone
+        # flax setup() derives the submodule name from the attribute
+        self.backbone = build_backbone(self.cfg.backbone, dtype=self.dtype,
+                                       module_name=None)
         if self.cfg.neck == "fpn":
             self.neck = FPN(256, dtype=self.dtype, extra_pool=True,
                             name="neck")
@@ -165,7 +169,7 @@ class FasterRCNN(nn.Module):
                                  name="box_head")
 
     def features(self, images, train: bool = False):
-        feats = self.backbone(images, train)
+        feats = self.backbone(images, train)[-4:]   # C2..C5
         return self.neck(feats, train)      # P2..P6 list
 
     def __call__(self, images, train: bool = False,

@@ -53,8 +53,40 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """Two-3x3 residual block (resnet18/34; torchvision BasicBlock)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=dt, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="bn2")(y)
+        if self.downsample:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=dt, name="ds_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5, dtype=dt,
+                                    name="ds_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)   # resnet50
+    block: str = "bottleneck"                   # bottleneck | basic
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,13 +101,23 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         widths = (64, 128, 256, 512)
+        blk = Bottleneck if self.block == "bottleneck" else BasicBlock
         for si, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and si > 0) else 1
-                x = Bottleneck(w, stride=stride, downsample=(bi == 0),
-                               dtype=dt, name=f"layer{si + 1}_{bi}")(x, train)
+                down = bi == 0 and (self.block == "bottleneck" or si > 0)
+                x = blk(w, stride=stride, downsample=down,
+                        dtype=dt, name=f"layer{si + 1}_{bi}")(x, train)
             outs.append(x)
         return tuple(outs)   # C2 (stride 4) .. C5 (stride 32)
+
+
+RESNET_STAGES = {
+    "resnet18": ((2, 2, 2, 2), "basic"),
+    "resnet34": ((3, 4, 6, 3), "basic"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck"),
+    "resnet101": ((3, 4, 23, 3), "bottleneck"),
+}
 
 
 def build_resnet50(dtype=jnp.float32) -> ResNet:

@@ -42,6 +42,9 @@ class YOLOv5(nn.Module):
     dtype: Any = jnp.float32
     dropblock_p: float = 0.0
     packed_head: bool = False
+    backbone: str = "cspdarknet"   # "cspdarknet" = the v6.1 default tied to
+    # depth/width multiples; any models/backbones.py registry name swaps it
+    # (reference capability README.md:8-9)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,12 +68,18 @@ class YOLOv5(nn.Module):
         anchor blocks in the channel dim, which forces an expensive lane
         relayout before any TPU postprocess op (ops/postprocess.py).
         """
-        backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
-                              dtype=self.dtype,
-                              dropblock_p=self.dropblock_p, name="backbone")
+        if self.backbone == "cspdarknet":
+            backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
+                                  dtype=self.dtype,
+                                  dropblock_p=self.dropblock_p,
+                                  name="backbone")
+        else:
+            from heltondetection_tpu.models.backbones import build_backbone
+            backbone = build_backbone(self.backbone, dtype=self.dtype,
+                                      dropblock_p=self.dropblock_p)
         neck = PAFPNv5(self.depth_multiple, self.width_multiple,
                        dtype=self.dtype, name="neck")
-        feats = neck(backbone(x, train), train)
+        feats = neck(backbone(x, train)[-3:], train)
         a = self.num_anchors
         outs = []
         if self.packed_head:
