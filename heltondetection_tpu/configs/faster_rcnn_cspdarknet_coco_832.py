@@ -1,7 +1,7 @@
-"""FasterRCNN with a CSPDarknet backbone, COCO2017 832² — the reference's
-backbone-swap row (README.md:120: "timm_cspdarknet" FasterRCNN, adamw,
-mosaic 0.5). timm is torch-only; the TPU rebuild swaps via the
-models/backbones.py registry instead (same capability, README.md:8-9)."""
+"""FasterRCNN with a CSPDarknet backbone, COCO2017 832² — exercises the
+reference's swappable-backbone capability (README.md:8-9; its
+timm-backbone demo row is YOLOv5l-timm_cspdarknet, README.md:120). timm is
+torch-only; the TPU rebuild swaps via the models/backbones.py registry."""
 
 from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
                                               ExperimentConfig, ModelConfig,

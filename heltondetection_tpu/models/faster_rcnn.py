@@ -65,8 +65,8 @@ class RCNNConfig(NamedTuple):
     nms_thresh: float = 0.5
     max_det: int = 100
     max_gt: int = 64
-    backbone: str = "resnet50"  # models/backbones.py registry; the
-    # reference also swaps in cspdarknet via timm (README.md:120)
+    backbone: str = "resnet50"  # models/backbones.py registry name
+    # (swappable backbones README.md:8-9; timm swap demo README.md:120)
     dropblock_p: float = 0.0   # DropBlock on pooled head features
     # (reference DDP_dropBlock0.5 ablation, README.md:97)
     roi_levels: int = 4        # pyramid levels the box head pools from;

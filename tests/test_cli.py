@@ -84,3 +84,24 @@ def test_cli_export(workspace, tmp_path):
     fn = load_serving_fn(out)
     dets = fn(jnp.zeros((1, 64, 64, 3), jnp.uint8))
     assert dets[0].shape == (1, 300, 4)
+
+
+def test_all_shipped_configs_load_and_build():
+    """Every experiment config mirrors a reference table row (SURVEY.md §6)
+    and must construct a model (catches stale field names/backbones)."""
+    import importlib
+    import pathlib
+    from heltondetection_tpu.engine.runner import build_model
+    cfg_dir = (pathlib.Path(__file__).parent.parent /
+               "heltondetection_tpu" / "configs")
+    n = 0
+    for p in sorted(cfg_dir.glob("*.py")):
+        if p.stem in ("__init__", "base"):
+            continue
+        mod = importlib.import_module(
+            f"heltondetection_tpu.configs.{p.stem}")
+        cfg = mod.config
+        model = build_model(cfg.model, cfg.model.num_classes)
+        assert model is not None
+        n += 1
+    assert n >= 14
