@@ -223,7 +223,12 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                                   img_size=cfg.model.img_size,
                                   focal=cfg.train.focal,
                                   label_smoothing=cfg.train.label_smoothing)
-        base_step = make_train_step(model, tx, loss_cfg,
+        # packed train head: identical params + math (pinned by
+        # tests/test_yolo_loss.py parity test), loss-friendly layout;
+        # `model` itself stays standard for the periodic-eval path
+        import dataclasses
+        train_model = dataclasses.replace(model, packed_train=True)
+        base_step = make_train_step(train_model, tx, loss_cfg,
                                     use_ema=cfg.train.ema)
         if device_aug:
             from heltondetection_tpu.data.device_aug import \

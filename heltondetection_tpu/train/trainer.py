@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from heltondetection_tpu.train.yolo_loss import YoloLossConfig, yolo_loss
+from heltondetection_tpu.train.yolo_loss import (YoloLossConfig, yolo_loss, yolo_loss_packed)
 
 
 class TrainState(NamedTuple):
@@ -107,7 +107,11 @@ def make_train_step(model, tx, loss_cfg: YoloLossConfig,
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.fold_in(base_key, step)})
-        loss, metrics = yolo_loss(outs, batch["gt_boxes"], batch["gt_cls"],
+        # packed train head (models/yolov5._PackedDetect) emits per-level
+        # tuples; the standard head emits arrays — same math either way
+        loss_impl = (yolo_loss_packed if isinstance(outs[0], (tuple, list))
+                     else yolo_loss)
+        loss, metrics = loss_impl(outs, batch["gt_boxes"], batch["gt_cls"],
                                   batch["gt_mask"], loss_cfg)
         return loss, (metrics, mutated["batch_stats"])
 

@@ -141,3 +141,47 @@ def test_perfect_prediction_low_box_loss():
     raw_bad = [jnp.asarray(lvl0_bad), raw[1], raw[2]]
     _, m_bad = yolo_loss(raw_bad, gt, cls, mask, cfg, anchors=anchors)
     assert float(m_bad["box"]) > float(m["box"]) + 0.01
+
+
+def test_packed_train_head_loss_and_grad_parity():
+    """The packed train head (models/yolov5._PackedDetect) must be a pure
+    relayout: same param tree, same loss value, same gradients as the
+    standard conv head + yolo_loss."""
+    import dataclasses
+    import jax.tree_util as jtu
+    from heltondetection_tpu.models.yolov5 import YOLOv5
+    from heltondetection_tpu.train.yolo_loss import (YoloLossConfig,
+                                                     yolo_loss,
+                                                     yolo_loss_packed)
+    nc, S, M, B = 7, 64, 16, 2
+    model = YOLOv5(num_classes=nc, width_multiple=0.25)
+    model_p = dataclasses.replace(model, packed_train=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    vp = model_p.init(jax.random.PRNGKey(0), x, train=False)
+    ka = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(v)[0]]
+    kb = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(vp)[0]]
+    assert ka == kb
+
+    gtb = jnp.asarray(rng.uniform(8, 56, (B, M, 4)).astype(np.float32))
+    gtc = jnp.asarray(rng.integers(0, nc, (B, M)).astype(np.int32))
+    gtm = jnp.asarray(rng.uniform(0, 1, (B, M)) < 0.5)
+    cfg = YoloLossConfig(num_classes=nc, img_size=S)
+
+    def loss_std(params):
+        outs = model.apply({"params": params,
+                            "batch_stats": v["batch_stats"]}, x, train=False)
+        return yolo_loss(outs, gtb, gtc, gtm, cfg)[0]
+
+    def loss_pk(params):
+        outs = model_p.apply({"params": params,
+                              "batch_stats": v["batch_stats"]}, x,
+                             train=False)
+        return yolo_loss_packed(outs, gtb, gtc, gtm, cfg)[0]
+
+    la, ga = jax.value_and_grad(loss_std)(v["params"])
+    lb, gb = jax.value_and_grad(loss_pk)(v["params"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jtu.tree_leaves(ga), jtu.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
