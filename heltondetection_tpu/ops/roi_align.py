@@ -113,34 +113,115 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
     return vals.max(axis=(2, 4))
 
 
+def _roi_levels(rois: jnp.ndarray, num_levels: int, canonical_level: int,
+                canonical_size: float) -> jnp.ndarray:
+    """torchvision MultiScaleRoIAlign level map:
+    clamp(floor(k0 + log2(sqrt(area)/224)), levels)."""
+    areas = jnp.maximum(rois[:, 2] - rois[:, 0], 0.0) * \
+        jnp.maximum(rois[:, 3] - rois[:, 1], 0.0)
+    target = jnp.floor(canonical_level +
+                       jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
+    return jnp.clip(target, 0, num_levels - 1).astype(jnp.int32)
+
+
 def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
                          out_size: int = 7, sampling_ratio: int = 2,
                          canonical_size: float = 224.0,
                          canonical_level: int = 2,
                          aligned: bool = False,
                          method: str = "align") -> jnp.ndarray:
-    """FPN level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics):
-    level k = clamp(floor(k0 + log2(sqrt(area)/224)), levels). Computes the
-    align on EVERY level and selects per-roi — 4x the gather work but fully
-    static shapes; the per-level crops are cheap (N·out²·C).
+    """FPN level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics).
+
+    TPU formulation: the pyramid is flattened into ONE (ΣHW, C) row tensor
+    and each roi gathers its bilinear taps ONLY at its assigned level —
+    per-roi level parameters (stride, base offset, width, height) come from
+    (L,)-tables indexed by the level map, so the whole op is a single
+    fixed-shape row gather. The naive compute-every-level-and-select
+    version does 4× the gather traffic and was ~20× slower end-to-end on a
+    v5e (395 ms → the roi stage of FasterRCNN 832² b8).
 
     Args:
       feats: list of (H_l, W_l, C) maps, one per stride in ``strides``.
       rois: (N, 4) xyxy input-image coords.
     Returns (N, out, out, C).
     """
-    areas = jnp.maximum(rois[:, 2] - rois[:, 0], 0.0) * \
-        jnp.maximum(rois[:, 3] - rois[:, 1], 0.0)
-    target = jnp.floor(canonical_level +
-                       jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
-    target = jnp.clip(target, 0, len(feats) - 1).astype(jnp.int32)
-    op = roi_align if method == "align" else roi_pool
-    outs = []
-    for lvl, (f, stride) in enumerate(zip(feats, strides)):
-        kw = dict(out_size=out_size, spatial_scale=1.0 / stride)
-        if method == "align":
-            kw.update(sampling_ratio=sampling_ratio, aligned=aligned)
-        outs.append(op(f, rois, **kw))
-    stacked = jnp.stack(outs, axis=0)                      # (L, N, o, o, C)
-    sel = jax.nn.one_hot(target, len(feats), axis=0)       # (L, N)
-    return (stacked * sel[:, :, None, None, None]).sum(0)
+    n_lvl = len(feats)
+    target = _roi_levels(rois, n_lvl, canonical_level, canonical_size)
+
+    c = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    bases = jnp.asarray(
+        [0] + list(jnp.cumsum(jnp.asarray(
+            [f.shape[0] * f.shape[1] for f in feats]))[:-1]), jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    # per-roi level params (tiny table gathers)
+    r_scale = scales[target]                               # (N,)
+    r_h = hs[target]
+    r_w = ws[target]
+    r_base = bases[target]
+
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * r_scale - offset
+    y1 = rois[:, 1] * r_scale - offset
+    x2 = rois[:, 2] * r_scale - offset
+    y2 = rois[:, 3] * r_scale - offset
+    if method == "align":
+        if not aligned:  # torchvision legacy: min roi size 1
+            rw = jnp.maximum(x2 - x1, 1.0)
+            rh = jnp.maximum(y2 - y1, 1.0)
+        else:
+            rw = x2 - x1
+            rh = y2 - y1
+        s = sampling_ratio
+        g = (jnp.arange(out_size * s) + 0.5) / s           # bins
+        ys = y1[:, None] + g[None, :] * (rh / out_size)[:, None]  # (N, os)
+        xs = x1[:, None] + g[None, :] * (rw / out_size)[:, None]
+    else:  # roi_pool ablation: quantized grid, 4-sample max per bin
+        x1q = jnp.round(rois[:, 0] * r_scale)
+        y1q = jnp.round(rois[:, 1] * r_scale)
+        rw = jnp.maximum(jnp.round(rois[:, 2] * r_scale) - x1q + 1, 1.0)
+        rh = jnp.maximum(jnp.round(rois[:, 3] * r_scale) - y1q + 1, 1.0)
+        s = 4
+        g = (jnp.arange(out_size * s) + 0.5) / s / out_size
+        ys = y1q[:, None] + g[None, :] * rh[:, None]
+        xs = x1q[:, None] + g[None, :] * rw[:, None]
+
+    n = rois.shape[0]
+    os_ = out_size * s
+    yy = jnp.broadcast_to(ys[:, :, None], (n, os_, os_))
+    xx = jnp.broadcast_to(xs[:, None, :], (n, os_, os_))
+    h_r = r_h[:, None, None]
+    w_r = r_w[:, None, None]
+    base_r = r_base[:, None, None]
+
+    if method == "align":
+        valid = (yy > -1.0) & (yy < h_r) & (xx > -1.0) & (xx < w_r)
+        ycl = jnp.clip(yy, 0.0, h_r - 1.0)
+        xcl = jnp.clip(xx, 0.0, w_r - 1.0)
+        y0 = jnp.floor(ycl)
+        x0 = jnp.floor(xcl)
+        y1f = jnp.minimum(y0 + 1, h_r - 1.0)
+        x1f = jnp.minimum(x0 + 1, w_r - 1.0)
+        ly = (ycl - y0)[..., None]
+        lx = (xcl - x0)[..., None]
+        wi = w_r.astype(jnp.int32)
+        idx = jnp.stack([
+            base_r + y0.astype(jnp.int32) * wi + x0.astype(jnp.int32),
+            base_r + y0.astype(jnp.int32) * wi + x1f.astype(jnp.int32),
+            base_r + y1f.astype(jnp.int32) * wi + x0.astype(jnp.int32),
+            base_r + y1f.astype(jnp.int32) * wi + x1f.astype(jnp.int32),
+        ], axis=-1)                                        # (N, os, os, 4)
+        vals = flat[idx.reshape(n, -1)].reshape(n, os_, os_, 4, c)
+        wgt = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                         ly * (1 - lx), ly * lx], axis=-2)  # (N,os,os,4,1)
+        out = (vals * wgt).sum(-2) * valid[..., None]
+        return out.reshape(n, out_size, s, out_size, s, c).mean(axis=(2, 4))
+
+    ycl = jnp.clip(yy, 0.0, h_r - 1.0).astype(jnp.int32)
+    xcl = jnp.clip(xx, 0.0, w_r - 1.0).astype(jnp.int32)
+    idx = base_r + ycl * r_w.astype(jnp.int32)[:, None, None] + xcl
+    vals = flat[idx.reshape(n, -1)].reshape(n, os_, os_, c)
+    return vals.reshape(n, out_size, s, out_size, s, c).max(axis=(2, 4))
