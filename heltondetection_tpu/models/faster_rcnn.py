@@ -186,21 +186,35 @@ class FasterRCNN(nn.Module):
         return pyr, obj, deltas
 
     def run_box_head(self, pyr, rois, train: bool = False):
-        """Pooled features → head outputs for ONE image's rois (R,4).
+        """Pooled features → head outputs.
 
-        pyr entries must be UNBATCHED (H,W,C) — callers vmap over images.
-        P6 is excluded from pooling like torchvision MultiScaleRoIAlign
-        (featmap_names P2..P5 only).
+        Accepts either ONE image ((H,W,C) pyr entries + (R,4) rois) or a
+        batch ((B,H,W,C) + (B,R,4)); batching the head keeps the box-head
+        matmuls one big (B·R, ...) GEMM. P6 is excluded from pooling like
+        torchvision MultiScaleRoIAlign (featmap_names P2..P5 only).
         """
         nl = self.cfg.roi_levels
-        crops = multilevel_roi_align(list(pyr[:nl]), rois, STRIDES[:nl],
-                                     out_size=7, method=self.cfg.roi_method)
+        batched = rois.ndim == 3
+        if batched:
+            b, r = rois.shape[:2]
+            crops = jax.vmap(lambda ps, rs: multilevel_roi_align(
+                list(ps[:nl]), rs, STRIDES[:nl], out_size=7,
+                method=self.cfg.roi_method))([p for p in pyr], rois)
+            crops = crops.reshape(b * r, *crops.shape[2:])
+        else:
+            crops = multilevel_roi_align(list(pyr[:nl]), rois, STRIDES[:nl],
+                                         out_size=7,
+                                         method=self.cfg.roi_method)
         if self.cfg.dropblock_p > 0:
             from heltondetection_tpu.models.dropblock import DropBlock
             crops = DropBlock(self.cfg.dropblock_p, block_size=3,
                               name="head_dropblock")(
                 crops, deterministic=not train)
-        return self.box_head(crops)
+        scores, deltas = self.box_head(crops)
+        if batched:
+            scores = scores.reshape(b, r, *scores.shape[1:])
+            deltas = deltas.reshape(b, r, *deltas.shape[1:])
+        return scores, deltas
 
 
 def init_faster_rcnn(model: FasterRCNN, rng, img_size: int,
@@ -441,13 +455,10 @@ def faster_rcnn_loss(model: FasterRCNN, variables, images, gt_boxes_xyxy,
 
     kd = jax.random.fold_in(rng, 17)
 
-    def head_one(pyr_img, rois_img):
-        return model.apply(variables, [p for p in pyr_img], rois_img,
-                           train, method=FasterRCNN.run_box_head,
-                           rngs={"dropout": kd} if train else {})
-
-    scores, head_deltas = jax.vmap(head_one)(
-        [p for p in pyr], rois)
+    scores, head_deltas = model.apply(
+        variables, [p for p in pyr], rois, train,
+        method=FasterRCNN.run_box_head,
+        rngs={"dropout": kd} if train else {})
 
     l_cls, l_box = jax.vmap(box_head_loss)(scores, head_deltas, labels,
                                            reg_t, is_fg, valid)
@@ -467,10 +478,10 @@ def faster_rcnn_infer(model: FasterRCNN, variables, images,
         lambda o, d: generate_proposals(o, d, anchors, counts,
                                         cfg.img_size, cfg))(obj, deltas)
 
-    def infer_one(pyr_img, rois_img, valid_img):
-        scores, head_deltas = model.apply(variables, [p for p in pyr_img],
-                                          rois_img,
-                                          method=FasterRCNN.run_box_head)
+    all_scores, all_deltas = model.apply(variables, [p for p in pyr], props,
+                                         method=FasterRCNN.run_box_head)
+
+    def infer_one(scores, head_deltas, rois_img, valid_img):
         probs = jax.nn.softmax(scores, -1)[:, 1:]          # (R, nc)
         boxes = decode_deltas(rois_img[:, None, :], head_deltas,
                               (10.0, 10.0, 5.0, 5.0))      # (R, nc, 4)
@@ -487,4 +498,4 @@ def faster_rcnn_infer(model: FasterRCNN, variables, images,
                            pre_nms_topk=min(flat_s.shape[0], 2048),
                            max_det=cfg.max_det)
 
-    return jax.vmap(infer_one)([p for p in pyr], props, pvalid)
+    return jax.vmap(infer_one)(all_scores, all_deltas, props, pvalid)
