@@ -132,13 +132,18 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
                          method: str = "align") -> jnp.ndarray:
     """FPN level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics).
 
-    TPU formulation: the pyramid is flattened into ONE (ΣHW, C) row tensor
-    and each roi gathers its bilinear taps ONLY at its assigned level —
-    per-roi level parameters (stride, base offset, width, height) come from
-    (L,)-tables indexed by the level map, so the whole op is a single
-    fixed-shape row gather. The naive compute-every-level-and-select
-    version does 4× the gather traffic and was ~20× slower end-to-end on a
-    v5e (395 ms → the roi stage of FasterRCNN 832² b8).
+    TPU formulation: the pyramid is flattened into ONE row tensor and each
+    roi gathers ONLY at its assigned level — per-roi level parameters
+    (stride, base offset, width, height) come from (L,)-tables indexed by
+    the level map, so the whole op is one fixed-shape row gather. The rows
+    are QUAD-SHIFTED: each level is concatenated channel-wise with its
+    x-, y-, and xy-rolled copies, so all four bilinear taps of a sample
+    come from a single (4C,) row at (y0, x0) — TPU gathers are row-count
+    bound (~2.2× faster for the same bytes), and the roll wraparound is
+    provably inert because a wrapped tap's bilinear weight is exactly the
+    border-clamp case's zero. The naive compute-every-level-and-select
+    per-tap version was ~6× slower end-to-end on a v5e (395 ms → the roi
+    stage of FasterRCNN 832² b8).
 
     Args:
       feats: list of (H_l, W_l, C) maps, one per stride in ``strides``.
@@ -149,7 +154,18 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
     target = _roi_levels(rois, n_lvl, canonical_level, canonical_size)
 
     c = feats[0].shape[-1]
-    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    if method == "align":
+        # quad-shift: [F, F←x, F←y, F←xy] on channels; taps (y0,x0),
+        # (y0,x0+1), (y1,x0), (y1,x1) all live in row (y0,x0)
+        def quad(f):
+            fx = jnp.roll(f, -1, axis=1)
+            fy = jnp.roll(f, -1, axis=0)
+            fxy = jnp.roll(fx, -1, axis=0)
+            return jnp.concatenate([f, fx, fy, fxy], axis=-1)
+        flat = jnp.concatenate([quad(f).reshape(-1, 4 * c) for f in feats],
+                               axis=0)
+    else:
+        flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
     ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
     bases = jnp.asarray(
@@ -203,17 +219,14 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         xcl = jnp.clip(xx, 0.0, w_r - 1.0)
         y0 = jnp.floor(ycl)
         x0 = jnp.floor(xcl)
-        y1f = jnp.minimum(y0 + 1, h_r - 1.0)
-        x1f = jnp.minimum(x0 + 1, w_r - 1.0)
+        # no tap clamping needed: whenever y0+1/x0+1 would leave the map
+        # (only possible at ycl == H-1 / xcl == W-1 exactly), ly/lx is 0,
+        # so the rolled-wraparound value is multiplied by exactly 0 —
+        # identical to torchvision's min(y0+1, H-1) clamp
         ly = (ycl - y0)[..., None]
         lx = (xcl - x0)[..., None]
         wi = w_r.astype(jnp.int32)
-        idx = jnp.stack([
-            base_r + y0.astype(jnp.int32) * wi + x0.astype(jnp.int32),
-            base_r + y0.astype(jnp.int32) * wi + x1f.astype(jnp.int32),
-            base_r + y1f.astype(jnp.int32) * wi + x0.astype(jnp.int32),
-            base_r + y1f.astype(jnp.int32) * wi + x1f.astype(jnp.int32),
-        ], axis=-1)                                        # (N, os, os, 4)
+        idx = base_r + y0.astype(jnp.int32) * wi + x0.astype(jnp.int32)
         vals = flat[idx.reshape(n, -1)].reshape(n, os_, os_, 4, c)
         wgt = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
                          ly * (1 - lx), ly * lx], axis=-2)  # (N,os,os,4,1)
