@@ -230,8 +230,13 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         vals = flat[idx.reshape(n, -1)].reshape(n, os_, os_, 4, c)
         wgt = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
                          ly * (1 - lx), ly * lx], axis=-2)  # (N,os,os,4,1)
-        out = (vals * wgt).sum(-2) * valid[..., None]
-        return out.reshape(n, out_size, s, out_size, s, c).mean(axis=(2, 4))
+        # weight/reduce in the feature dtype (bf16 on TPU): the tap tensor
+        # is the big operand, and halving its elementwise traffic matters
+        # more than the ≤2⁻⁸ relative weight rounding (pooled features are
+        # averages of 4·s² taps; parity tests bound the error)
+        out = (vals * wgt.astype(vals.dtype)).sum(-2) * valid[..., None]
+        out = out.reshape(n, out_size, s, out_size, s, c)
+        return out.mean(axis=(2, 4)).astype(jnp.float32)
 
     ycl = jnp.clip(yy, 0.0, h_r - 1.0).astype(jnp.int32)
     xcl = jnp.clip(xx, 0.0, w_r - 1.0).astype(jnp.int32)
