@@ -150,7 +150,7 @@ class Evaluator:
         self.num_classes = num_classes
         self._mesh = mesh
         if step_fn is not None:
-            _step = jax.jit(step_fn)
+            raw_step = step_fn
         else:
             post = make_postprocess(num_classes, conf_thres=conf_thres,
                                     iou_thres=iou_thres,
@@ -158,10 +158,11 @@ class Evaluator:
                                     max_det=max_det, multi_label=multi_label,
                                     use_pallas=use_pallas)
 
-            @jax.jit
-            def _step(images):
+            def raw_step(images):
                 boxes, obj, cls = forward_fn(images)
                 return post(boxes, obj, cls)
+
+        _step = jax.jit(raw_step)
 
         if mesh is not None:
             from heltondetection_tpu.parallel.mesh import batch_sharding
@@ -171,7 +172,35 @@ class Evaluator:
             def _step(images):  # noqa: F811 — sharded wrapper
                 return inner(jax.device_put(jnp.asarray(images), sharding))
 
-        self._step = _step
+            self._step = _step
+        else:
+            # single-device: let XLA choose the input layout (saves the
+            # per-batch relayout copy before the stem conv) and stage each
+            # batch into that format on transfer
+            base = _step
+            cache = {}
+            del _step
+
+            def _step(images):  # noqa: F811 — auto-layout wrapper
+                images = np.asarray(images)
+                key = (images.shape, str(images.dtype))
+                if key not in cache:
+                    try:
+                        from jax.experimental.layout import Format, Layout
+                        c = jax.jit(
+                            raw_step,
+                            in_shardings=Format(Layout.AUTO)).lower(
+                            jax.ShapeDtypeStruct(images.shape,
+                                                 images.dtype)).compile()
+                        cache[key] = (c, c.input_formats[0][0])
+                    except Exception:   # CPU tests / older jax: plain path
+                        cache[key] = (base, None)
+                fn, fmt = cache[key]
+                if fmt is not None:
+                    images = jax.device_put(images, fmt)
+                return fn(images)
+
+            self._step = _step
 
     def run(self, batches: Iterable[Dict[str, Any]],
             det_eval: Optional[DetEval] = None,

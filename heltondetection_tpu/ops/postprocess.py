@@ -230,11 +230,12 @@ def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
     boxes = jnp.concatenate([xy - wh * 0.5, xy + wh * 0.5], -1)
 
     kc = min(max_cls_per_box, c)
-    # mask box/pad lanes out of the class top-k (cheap: rows only)
+    # mask box/pad lanes out of the class top-k; the expansion scans run
+    # in bf16 (ranking only — the returned logits go through f32 sigmoid)
     lane = jnp.arange(cp)[None, None, :]
-    cls_rows = jnp.where(lane < c, rows.astype(jnp.float32), -jnp.inf)
+    cls_rows = jnp.where(lane < c, rows, jnp.asarray(-1e4, rows.dtype))
     v, ci = _per_candidate_classes(cls_rows, kc)
-    pair_s = obj[..., None] * jax.nn.sigmoid(v)
+    pair_s = obj[..., None] * jax.nn.sigmoid(v.astype(jnp.float32))
     flat_s = jnp.where(pair_s > conf_thres, pair_s, 0.0).reshape(b, k1 * kc)
     k2 = min(topk, k1 * kc)
     if approx and k1 * kc > 2 * k2:
