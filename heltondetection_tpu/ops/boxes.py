@@ -16,6 +16,7 @@ Conventions
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-7
@@ -137,6 +138,58 @@ def box_iou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     area_a = box_area(boxes1)[..., :, None]
     area_b = box_area(boxes2)[..., None, :]
     return inter / (area_a + area_b - inter + EPS)
+
+
+def iou_matrix_pallas(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                      tile_n: int = 256, tile_m: int = 512) -> jnp.ndarray:
+    """Pairwise IoU as a tiled Pallas kernel — rebuild target N8
+    (SURVEY.md §2b: the reference leans on CUDA IoU kernels via torch
+    tensor ops; BASELINE.json names the IoU matrix as a Pallas target).
+
+    Equivalent to :func:`box_iou_matrix` on (N, 4) × (M, 4) xyxy inputs
+    (the jnp version is the semantics oracle). Boxes are consumed
+    coordinate-major (4, N) so every pairwise op is a natural
+    (sublane, lane) broadcast on the VPU, and each grid program emits one
+    (tile_n, tile_m) output tile without materialising intermediates in
+    HBM. N must be a multiple of 8 and M of 128 (pad with zero-area boxes,
+    which IoU 0 against everything).
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    tn = min(tile_n, n)
+    tm = min(tile_m, m)
+    assert n % tn == 0 and m % tm == 0 and tn % 8 == 0 and tm % 128 == 0, \
+        (n, m, tn, tm)
+
+    def kernel(a_ref, b_ref, out_ref):
+        ax1, ay1, ax2, ay2 = (a_ref[i, :] for i in range(4))   # (tn,)
+        bx1, by1, bx2, by2 = (b_ref[i, :] for i in range(4))   # (tm,)
+        iw = jnp.maximum(jnp.minimum(ax2[:, None], bx2[None, :]) -
+                         jnp.maximum(ax1[:, None], bx1[None, :]), 0.0)
+        ih = jnp.maximum(jnp.minimum(ay2[:, None], by2[None, :]) -
+                         jnp.maximum(ay1[:, None], by1[None, :]), 0.0)
+        inter = iw * ih
+        area_a = jnp.maximum(ax2 - ax1, 0.0) * jnp.maximum(ay2 - ay1, 0.0)
+        area_b = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+        out_ref[:, :] = inter / (area_a[:, None] + area_b[None, :] -
+                                 inter + EPS)
+
+    a_t = boxes1.T.astype(jnp.float32)                         # (4, N)
+    b_t = boxes2.T.astype(jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tn, m // tm),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        in_specs=[pl.BlockSpec((4, tn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, tm), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )(a_t, b_t)
 
 
 def box_ioa_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

@@ -80,3 +80,23 @@ def test_decode_deltas_matches_torchvision():
     ours = np.asarray(B.decode_deltas(jnp.asarray(anchors), jnp.asarray(deltas),
                                       (10.0, 10.0, 5.0, 5.0)))
     np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_iou_matrix_pallas_matches_jnp():
+    """Pallas tiled IoU kernel (rebuild N8) vs the jnp oracle; runs in
+    interpret mode on CPU, natively on TPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from heltondetection_tpu.ops.boxes import box_iou_matrix, iou_matrix_pallas
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 64, (64, 4)).astype(np.float32)
+    a[:, 2:] = a[:, :2] + rng.uniform(1, 30, (64, 2))
+    b = rng.uniform(0, 64, (256, 4)).astype(np.float32)
+    b[:, 2:] = b[:, :2] + rng.uniform(1, 30, (256, 2))
+    a[5] = 0  # zero-area padding boxes stay inert
+    with pltpu.force_tpu_interpret_mode():
+        got = iou_matrix_pallas(jnp.asarray(a), jnp.asarray(b),
+                                tile_n=32, tile_m=128)
+    want = box_iou_matrix(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    assert (np.asarray(got)[5] == 0).all()
