@@ -74,6 +74,7 @@ class EvalConfig:
     max_det: int = 300
     multi_label: bool = True
     fused: bool = True   # packed-head fused postprocess (ops/postprocess.py)
+    approx: bool = False  # approx_max_k candidate top-k (serving-only knob)
 
 
 @dataclass

@@ -256,11 +256,14 @@ class DeviceAugPipeline:
     (mosaic coin, crop offset, flip, color jitter) happens on device."""
 
     def __init__(self, dataset, img_size: int, *, max_boxes: int = 32,
-                 seed: int = 0):
+                 seed: int = 0, mosaic_p: float = 1.0):
         self.ds = dataset
         self.img_size = img_size
         self.max_boxes = max_boxes
         self.seed = seed
+        # mosaic_p == 0 → the device path always takes the tile-0 branch,
+        # so decoding + letterboxing tiles 1-3 would be 4x wasted host work
+        self.mosaic_p = mosaic_p
 
     def __len__(self):
         return len(self.ds)
@@ -270,8 +273,11 @@ class DeviceAugPipeline:
             np.random.SeedSequence([self.seed, epoch, idx]))
         s = self.img_size
         m = self.max_boxes
-        ids = [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
-        images = np.empty((4, s, s, 3), np.uint8)
+        if self.mosaic_p > 0:
+            ids = [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
+        else:
+            ids = [idx]
+        images = np.full((4, s, s, 3), 114, np.uint8)
         boxes4 = np.zeros((4, m, 4), np.float32)
         cls4 = np.zeros((4, m), np.int32)
         mask4 = np.zeros((4, m), bool)

@@ -92,7 +92,7 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
                            conf_thres: float = 0.001, iou_thres: float = 0.65,
                            pre_nms_topk: int = 1024,
                            max_det: Optional[int] = None,
-                           approx: bool = True,
+                           approx: bool = False, multi_label: bool = True,
                            normalize: bool = True) -> Callable:
     """Build the fused packed-head serve step for a YOLOv5 model.
 
@@ -111,7 +111,8 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
     post = make_fused_postprocess(num_classes, conf_thres=conf_thres,
                                   iou_thres=iou_thres,
                                   pre_nms_topk=pre_nms_topk,
-                                  max_det=max_det, approx=approx)
+                                  max_det=max_det, approx=approx,
+                                  max_cls_per_box=4 if multi_label else 1)
 
     def step(images):
         if normalize:

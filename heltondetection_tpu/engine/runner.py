@@ -109,7 +109,11 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             make_packed_serve_step
         step = make_packed_serve_step(model, variables, nc,
                                       conf_thres=cfg.eval.conf_thres,
-                                      iou_thres=cfg.eval.iou_thres)
+                                      iou_thres=cfg.eval.iou_thres,
+                                      max_det=cfg.eval.max_det,
+                                      approx=getattr(cfg.eval, "approx",
+                                                     False),
+                                      multi_label=multi_label)
         ev = Evaluator(None, nc, step_fn=step)
     else:
         fwd = _forward_for_eval(cfg, model, variables)
@@ -180,7 +184,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         from heltondetection_tpu.data.augment import DeviceAugPipeline
         pipe = DeviceAugPipeline(ds, cfg.model.img_size,
                                  max_boxes=cfg.data.max_boxes,
-                                 seed=cfg.train.seed)
+                                 seed=cfg.train.seed,
+                                 mosaic_p=cfg.train.mosaic_p)
         loader = TrainLoader(pipe, cfg.train.batch_size,
                              seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers,
@@ -274,6 +279,10 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     trace_dir = os.environ.get("HELTON_PROFILE_DIR")
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
+    # SURVEY.md §5 sanitizers: the reference has no TSAN/ASAN surface; the
+    # JAX-level equivalent risk check is NaN trapping on every jitted op
+    if os.environ.get("HELTON_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best = {}
     for epoch in range(start_epoch, cfg.train.epochs):

@@ -36,7 +36,7 @@ def build_backbone(name: str, dtype: Any = jnp.float32,
     if name in RESNET_STAGES:
         stages, block = RESNET_STAGES[name]
         return ResNet(stage_sizes=stages, block=block, dtype=dtype,
-                      name=module_name)
+                      dropblock_p=dropblock_p, name=module_name)
     if name.startswith("cspdarknet_"):
         variant = name.split("_", 1)[1]
         d, w = VARIANTS[variant]

@@ -88,6 +88,8 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)   # resnet50
     block: str = "bottleneck"                   # bottleneck | basic
     dtype: Any = jnp.float32
+    dropblock_p: float = 0.0   # DropBlock on C3..C5 (reference backbone
+    # regularization ablation, README.md:131-132)
 
     @nn.compact
     def __call__(self, x, train: bool = False
@@ -109,6 +111,11 @@ class ResNet(nn.Module):
                 x = blk(w, stride=stride, downsample=down,
                         dtype=dt, name=f"layer{si + 1}_{bi}")(x, train)
             outs.append(x)
+        if self.dropblock_p > 0:
+            from heltondetection_tpu.models.dropblock import DropBlock
+            db = DropBlock(self.dropblock_p, name="dropblock")
+            outs = [outs[0]] + [db(o, deterministic=not train)
+                                for o in outs[1:]]
         return tuple(outs)   # C2 (stride 4) .. C5 (stride 32)
 
 

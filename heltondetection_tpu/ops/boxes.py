@@ -154,7 +154,6 @@ def iou_matrix_pallas(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     HBM. N must be a multiple of 8 and M of 128 (pad with zero-area boxes,
     which IoU 0 against everything).
     """
-    import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

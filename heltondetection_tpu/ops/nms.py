@@ -164,17 +164,20 @@ def nms_mask_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _nms_fixpoint_kernel(boxes_ref, out_ref, s_buf, *, n: int,
-                         iou_thres: float, iters: int):
+                         iou_thres: float):
     """One image per grid program. Builds the thresholded lower-triangular
     suppression matrix S (i suppresses j, i<j) in VMEM, then iterates
-    K ← ¬(K·S) — entirely on-chip, so the S matrix never round-trips to
-    HBM between iterations (the XLA while_loop variant re-reads it every
-    pass).
+    K ← ¬(K·S) TO CONVERGENCE — entirely on-chip, so the S matrix never
+    round-trips to HBM between iterations (the XLA while_loop variant
+    re-reads it every pass).
 
-    Exactness: row j only depends on rows <j, so after k iterations the
-    first k rows are final (monotone prefix convergence); ``iters``
-    iterations are exact for suppression chains up to that depth (detector
-    outputs converge in <10; tests pin equality vs the sequential scan).
+    Exactness: row j only depends on rows <j (S is strictly upper
+    triangular), so the fixpoint is unique and equals the sequential
+    greedy scan; the while_loop runs until the mask stops changing
+    (≤ suppression-chain-depth steps, <10 on detector outputs, worst
+    case n). An earlier revision capped this at 32 fixed iterations,
+    which silently mis-ranked chains deeper than 32 — tests now pin a
+    >32-deep chain against the sequential oracle.
     """
     x1 = boxes_ref[0, 0, :]
     y1 = boxes_ref[0, 1, :]
@@ -192,27 +195,38 @@ def _nms_fixpoint_kernel(boxes_ref, out_ref, s_buf, *, n: int,
     s_buf[:, :] = ((inter > iou_thres * union) & (col > row)
                    ).astype(jnp.float32)
 
-    def body(i, keep):
-        sup = jnp.dot(keep, s_buf[:, :],
-                      preferred_element_type=jnp.float32)   # (1, n)
-        return jnp.where(sup > 0.5, 0.0, 1.0)
+    # init derived from VMEM (a broadcast constant would carry a
+    # replicated layout that Mosaic cannot relayout across the loop)
+    k0 = s_buf[0:1, :] * 0.0 + 1.0
 
-    keep = jax.lax.fori_loop(0, iters, body,
-                             jnp.ones((1, n), jnp.float32))
+    def cond(c):
+        _, delta, it = c
+        return jnp.logical_and(it < n, delta > 0.5)
+
+    def body(c):
+        k, _, it = c
+        sup = jnp.dot(k, s_buf[:, :],
+                      preferred_element_type=jnp.float32)   # (1, n)
+        kn = jnp.where(sup > 0.5, 0.0, 1.0)
+        return kn, jnp.sum(jnp.abs(kn - k)), it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body,
+                                    (k0, jnp.asarray(1.0, jnp.float32), 0))
     out_ref[0, 0, :] = keep[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "iters"))
-def nms_mask_fixpoint_pallas(boxes: jnp.ndarray, iou_thres: float = 0.65,
-                             iters: int = 32) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("iou_thres",))
+def nms_mask_fixpoint_pallas(boxes: jnp.ndarray, iou_thres: float = 0.65
+                             ) -> jnp.ndarray:
     """Batched fused fixpoint NMS: boxes (B, N, 4) score-sorted → keep
-    (B, N) bool. N must be a multiple of 128."""
+    (B, N) bool. N must be a multiple of 128. Exact greedy semantics
+    (in-kernel convergence loop)."""
     b, n, _ = boxes.shape
     assert n % 128 == 0, f"NMS size {n} must be a multiple of 128 lanes"
     boxes_t = jnp.swapaxes(boxes, 1, 2).astype(jnp.float32)  # (B, 4, N)
     out = pl.pallas_call(
         functools.partial(_nms_fixpoint_kernel, n=n,
-                          iou_thres=float(iou_thres), iters=iters),
+                          iou_thres=float(iou_thres)),
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         in_specs=[pl.BlockSpec((1, 4, n), lambda i: (i, 0, 0),

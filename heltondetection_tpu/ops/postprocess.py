@@ -90,9 +90,39 @@ def _per_candidate_classes(cls_logits: jnp.ndarray, kc: int
     return jnp.stack(vals, -1), jnp.stack(ids, -1)
 
 
+def _expand_pairs(boxes: jnp.ndarray, obj: jnp.ndarray,
+                  cls_logits: jnp.ndarray, *, num_classes: int, topk: int,
+                  conf_thres: float, max_cls_per_box: int, approx: bool
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared tail of the fused select paths: per-candidate class
+    expansion (top max_cls_per_box classes) + flat re-top-k over the
+    (box, class) pairs. ``obj`` is σ(obj) probability; ``cls_logits`` may
+    be any float dtype (ranking only — σ is taken in f32)."""
+    b, k1 = obj.shape
+    kc = min(max_cls_per_box, num_classes)
+    v, ci = _per_candidate_classes(cls_logits, kc)         # (B, k1, kc)
+    pair_s = obj[..., None] * jax.nn.sigmoid(v.astype(jnp.float32))
+    flat_s = jnp.where(pair_s > conf_thres, pair_s, 0.0).reshape(b, k1 * kc)
+    k2 = min(topk, k1 * kc)
+    if approx and k1 * kc > 2 * k2:
+        top_s, top_i = jax.lax.approx_max_k(flat_s, k2)
+    else:
+        top_s, top_i = jax.lax.top_k(flat_s, k2)
+    bi = top_i // kc
+    out_b = jnp.take_along_axis(boxes, bi[..., None], axis=1)
+    out_c = jnp.take_along_axis(ci.reshape(b, k1 * kc), top_i, axis=1)
+    out_c = jnp.where(top_s > 0.0, out_c, -1).astype(jnp.int32)
+    if k2 < topk:
+        pad = topk - k2
+        out_b = jnp.pad(out_b, ((0, 0), (0, pad), (0, 0)))
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)))
+        out_c = jnp.pad(out_c, ((0, 0), (0, pad)), constant_values=-1)
+    return out_b, top_s, out_c
+
+
 def fused_select_decode(raw: Sequence[jnp.ndarray], num_classes: int, *,
                         topk: int = 1024, conf_thres: float = 0.001,
-                        max_cls_per_box: int = 4, approx: bool = True,
+                        max_cls_per_box: int = 4, approx: bool = False,
                         anchors=YOLOV5_ANCHORS, strides=YOLOV5_STRIDES,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raw head outputs → top-k multi-label candidates, decoded.
@@ -105,7 +135,6 @@ def fused_select_decode(raw: Sequence[jnp.ndarray], num_classes: int, *,
     """
     c = num_classes
     b = raw[0].shape[0]
-    a0 = len(anchors[0])
     img_hw = (raw[0].shape[1] * strides[0], raw[0].shape[2] * strides[0])
 
     # pass 1: per-anchor best-class confidence, fused per level
@@ -147,40 +176,26 @@ def fused_select_decode(raw: Sequence[jnp.ndarray], num_classes: int, *,
 
     # pass 4: multi-label class expansion + flat re-top-k over pairs
     obj = jax.nn.sigmoid(rows[..., 4])                     # (B, k1)
-    kc = min(max_cls_per_box, c)
-    v, ci = _per_candidate_classes(rows[..., 5:], kc)      # (B, k1, kc)
-    pair_s = obj[..., None] * jax.nn.sigmoid(v)
-    flat_s = jnp.where(pair_s > conf_thres, pair_s, 0.0).reshape(b, k1 * kc)
-    k2 = min(topk, k1 * kc)
-    if approx and k1 * kc > 2 * k2:
-        top_s, top_i = jax.lax.approx_max_k(flat_s, k2)
-    else:
-        top_s, top_i = jax.lax.top_k(flat_s, k2)
-    bi = top_i // kc
-    out_b = jnp.take_along_axis(boxes, bi[..., None], axis=1)
-    out_c = jnp.take_along_axis(ci.reshape(b, k1 * kc), top_i, axis=1)
-    out_c = jnp.where(top_s > 0.0, out_c, -1).astype(jnp.int32)
-    if k2 < topk:
-        pad = topk - k2
-        out_b = jnp.pad(out_b, ((0, 0), (0, pad), (0, 0)))
-        top_s = jnp.pad(top_s, ((0, 0), (0, pad)))
-        out_c = jnp.pad(out_c, ((0, 0), (0, pad)), constant_values=-1)
-    return out_b, top_s, out_c
+    return _expand_pairs(boxes, obj, rows[..., 5:], num_classes=c,
+                         topk=topk, conf_thres=conf_thres,
+                         max_cls_per_box=max_cls_per_box, approx=approx)
 
 
 def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
                                                       jnp.ndarray]],
                                num_classes: int, *, topk: int = 1024,
                                conf_thres: float = 0.001,
-                               max_cls_per_box: int = 4, approx: bool = True,
+                               max_cls_per_box: int = 4,
+                               approx: bool = False,
                                anchors=YOLOV5_ANCHORS,
                                strides=YOLOV5_STRIDES,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                           jnp.ndarray]:
     """Packed-head variant of :func:`fused_select_decode`.
 
-    ``packed``: per level ``(pobj (B,H,W,A) f32, pcand (B,H,W,A*CP)
-    bf16)`` from ``YOLOv5(packed_head=True)``. Stage-1 candidates are
+    ``packed``: per level ``(pobj (B, A·HW) f32, [pcand_a (B, HW, CP)
+    bf16 per anchor], (h, w))`` from ``YOLOv5(packed_head=True)``, flat
+    in anchor-major (a, y, x) row order. Stage-1 candidates are
     ranked by σ(obj) alone — Ultralytics v6.1's own candidate pre-filter
     is objectness-thresholded (`prediction[..., 4] > conf_thres`), so this
     is the faithful semantics AND it avoids any reduction over the big
@@ -210,7 +225,6 @@ def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
                                                      (0, off, 0))
             off += pc.shape[1]
 
-    n = obj_logit.shape[1]
     k1 = min(topk, n)
     if approx and n > 2 * k1:
         obj_l, box_i = jax.lax.approx_max_k(obj_logit, k1)
@@ -229,29 +243,13 @@ def fused_select_decode_packed(packed: Sequence[Tuple[jnp.ndarray,
     wh = (jax.nn.sigmoid(box_rows[..., 2:4]) * 2.0) ** 2 * aw
     boxes = jnp.concatenate([xy - wh * 0.5, xy + wh * 0.5], -1)
 
-    kc = min(max_cls_per_box, c)
     # mask box/pad lanes out of the class top-k; the expansion scans run
-    # in bf16 (ranking only — the returned logits go through f32 sigmoid)
+    # in bf16 (ranking only — σ of the selected logits is taken in f32)
     lane = jnp.arange(cp)[None, None, :]
     cls_rows = jnp.where(lane < c, rows, jnp.asarray(-1e4, rows.dtype))
-    v, ci = _per_candidate_classes(cls_rows, kc)
-    pair_s = obj[..., None] * jax.nn.sigmoid(v.astype(jnp.float32))
-    flat_s = jnp.where(pair_s > conf_thres, pair_s, 0.0).reshape(b, k1 * kc)
-    k2 = min(topk, k1 * kc)
-    if approx and k1 * kc > 2 * k2:
-        top_s, top_i = jax.lax.approx_max_k(flat_s, k2)
-    else:
-        top_s, top_i = jax.lax.top_k(flat_s, k2)
-    bi = top_i // kc
-    out_b = jnp.take_along_axis(boxes, bi[..., None], axis=1)
-    out_c = jnp.take_along_axis(ci.reshape(b, k1 * kc), top_i, axis=1)
-    out_c = jnp.where(top_s > 0.0, out_c, -1).astype(jnp.int32)
-    if k2 < topk:
-        pad = topk - k2
-        out_b = jnp.pad(out_b, ((0, 0), (0, pad), (0, 0)))
-        top_s = jnp.pad(top_s, ((0, 0), (0, pad)))
-        out_c = jnp.pad(out_c, ((0, 0), (0, pad)), constant_values=-1)
-    return out_b, top_s, out_c
+    return _expand_pairs(boxes, obj, cls_rows, num_classes=c, topk=topk,
+                         conf_thres=conf_thres,
+                         max_cls_per_box=max_cls_per_box, approx=approx)
 
 
 def nms_sorted_candidates(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -277,7 +275,7 @@ def nms_sorted_candidates(boxes: jnp.ndarray, scores: jnp.ndarray,
         nb = boxes
     nb = jnp.where(valid[..., None], nb, 0.0)              # inert padding
     if use_pallas and k % 128 == 0:
-        keep = nms_mask_fixpoint_pallas(nb, iou_thres=iou_thres, iters=32)
+        keep = nms_mask_fixpoint_pallas(nb, iou_thres=iou_thres)
     else:
         keep = jax.vmap(lambda bx: nms_mask_fixpoint(bx, None, iou_thres))(nb)
     if max_det is None:
@@ -308,13 +306,17 @@ def make_fused_postprocess(num_classes: int, *, conf_thres: float = 0.001,
                            iou_thres: float = 0.65, pre_nms_topk: int = 1024,
                            max_det: int | None = 300,
                            max_cls_per_box: int = 4,
-                           approx: bool = True, class_aware: bool = True,
+                           approx: bool = False, class_aware: bool = True,
                            use_pallas: bool | None = None):
     """Build the jittable fused batch postprocess over RAW head outputs:
     (per-level (B,H,W,A*(5+C)) tensors) → dets (B, max_det, …).
 
     ``use_pallas=None`` auto-selects the Pallas NMS kernel on TPU backends
-    and the XLA fixpoint elsewhere (CPU tests, CPU meshes).
+    and the XLA fixpoint elsewhere (CPU tests, CPU meshes). ``approx``
+    swaps the exact top-k stages for ``lax.approx_max_k`` (~1-2 ms faster
+    per 128-image batch, recall ≈0.95 on the candidate tails) — OFF by
+    default so eval matches the reference semantics; opt in for
+    max-throughput serving.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

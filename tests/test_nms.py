@@ -97,7 +97,7 @@ def test_nms_fixpoint_pallas_matches_sequential_interpret():
         bs.append(boxes[order])
     batch = jnp.asarray(np.stack(bs))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(N.nms_mask_fixpoint_pallas(batch, 0.5, iters=128))
+        got = np.asarray(N.nms_mask_fixpoint_pallas(batch, 0.5))
     for i in range(4):
         expect = np.asarray(N.nms_mask_jnp(batch[i], None, 0.5))
         np.testing.assert_array_equal(got[i], expect)
@@ -161,3 +161,24 @@ def test_batched_nms_matches_torchvision_batched():
     assert len(ours) == len(ref_set)
     assert {(tuple(np.round(x, 2)), k) for x, k in ours} == \
            {(tuple(np.round(np.asarray(x), 2)), k) for x, k in ref_set}
+
+
+def test_fixpoint_pallas_deep_suppression_chain():
+    """Regression: the fixpoint kernel must iterate to convergence — a
+    fixed iteration cap silently breaks suppression chains deeper than the
+    cap. Construct a >100-deep alternating chain (each box suppresses only
+    its immediate neighbor) and pin against the sequential greedy scan."""
+    from jax.experimental.pallas import tpu as pltpu
+    import heltondetection_tpu.ops.nms as N
+    n = 256
+    boxes = np.zeros((1, n, 4), np.float32)
+    for i in range(n):
+        # stride 2, width 10: iou(i, i+1) = 8/12 ≈ 0.67 > 0.65 → each kept
+        # box suppresses the next, which un-suppresses the one after, ...
+        boxes[0, i] = [i * 2.0, 0.0, i * 2.0 + 10.0, 10.0]
+    bj = jnp.asarray(boxes)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(N.nms_mask_fixpoint_pallas(bj, 0.65))[0]
+    want = np.asarray(N.nms_mask_jnp(bj[0], None, 0.65))
+    assert want.sum() == n // 2          # alternating keep pattern
+    np.testing.assert_array_equal(got, want)
