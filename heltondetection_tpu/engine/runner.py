@@ -261,10 +261,16 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
     start_epoch = 0
     if resume and ckpt_io.latest_step(cfg.ckpt_dir) is not None:
-        state = ckpt_io.restore_state(cfg.ckpt_dir, state)
-        start_epoch = int(state.step) // steps_per_epoch
-        logger.info("resumed from step %d (epoch %d)", int(state.step),
-                    start_epoch)
+        try:
+            state = ckpt_io.restore_state(cfg.ckpt_dir, state)
+            start_epoch = int(state.step) // steps_per_epoch
+            logger.info("resumed from step %d (epoch %d)", int(state.step),
+                        start_epoch)
+        except (ValueError, KeyError) as e:
+            # incompatible checkpoint in the work dir (different model /
+            # num_classes) — start fresh rather than crash mid-resume
+            logger.warning("ignoring incompatible checkpoint in %s: %s",
+                           cfg.ckpt_dir, e)
 
     n_dev = len(jax.devices())
     mesh = None
