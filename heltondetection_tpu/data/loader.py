@@ -76,16 +76,24 @@ class TrainLoader:
                 yield make_batch(bi)
             return
 
+        # fan out at SAMPLE granularity (cv2 decode/resize release the GIL)
+        # with `prefetch` whole batches of sample-futures in flight — a
+        # per-batch task would serialize the batch's samples on one thread
         with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = [pool.submit(make_batch, bi)
+            def submit_batch(bi):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                return [pool.submit(self.pipe.sample, int(i), epoch)
+                        for i in idxs]
+
+            pending = [submit_batch(bi)
                        for bi in range(min(self.prefetch, n_batches))]
-            next_submit = len(futures)
+            next_submit = len(pending)
             for _ in range(n_batches):
-                fut = futures.pop(0)
+                futs = pending.pop(0)
                 if next_submit < n_batches:
-                    futures.append(pool.submit(make_batch, next_submit))
+                    pending.append(submit_batch(next_submit))
                     next_submit += 1
-                yield fut.result()
+                yield _stack([f.result() for f in futs], keys)
 
 
 class EvalLoader:
@@ -119,13 +127,23 @@ class EvalLoader:
                 yield make_batch(bi)
             return
 
+        # sample-granularity fan-out (see TrainLoader.epoch)
         with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = [pool.submit(make_batch, bi)
+            def submit_batch(bi):
+                idxs = list(range(bi * bs, min((bi + 1) * bs, n)))
+                return [pool.submit(self.pipe.sample, i) for i in idxs]
+
+            pending = [submit_batch(bi)
                        for bi in range(min(self.prefetch, n_batches))]
-            next_submit = len(futures)
+            next_submit = len(pending)
             for _ in range(n_batches):
-                fut = futures.pop(0)
+                futs = pending.pop(0)
                 if next_submit < n_batches:
-                    futures.append(pool.submit(make_batch, next_submit))
+                    pending.append(submit_batch(next_submit))
                     next_submit += 1
-                yield fut.result()
+                samples = [f.result() for f in futs]
+                while len(samples) < bs:  # pad the tail batch
+                    pad = dict(samples[-1])
+                    pad["img_id"] = None
+                    samples.append(pad)
+                yield _stack(samples, keys)
