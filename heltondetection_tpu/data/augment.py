@@ -273,7 +273,11 @@ class DeviceAugPipeline:
             np.random.SeedSequence([self.seed, epoch, idx]))
         s = self.img_size
         m = self.max_boxes
-        if self.mosaic_p > 0:
+        # host-side mosaic coin: tiles 1-3 are only decoded when the
+        # mosaic fires (image reads dominate host cost; at p=0.5 this
+        # halves them). The flag rides the batch into the device aug.
+        use_mosaic = bool(rng.uniform() < self.mosaic_p)
+        if use_mosaic:
             ids = [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
         else:
             ids = [idx]
@@ -291,7 +295,7 @@ class DeviceAugPipeline:
                 cls4[t, :n] = raw["classes"][:n]
                 mask4[t, :n] = True
         return {"images4": images, "boxes4": boxes4, "cls4": cls4,
-                "mask4": mask4}
+                "mask4": mask4, "mosaic4": np.asarray(use_mosaic)}
 
 
 class EvalPipeline:

@@ -52,7 +52,7 @@ def rgb_jitter(img: jnp.ndarray, rng: jax.Array, *, h_gain: float = 0.015,
 
 def device_mosaic_one(images4: jnp.ndarray, boxes4: jnp.ndarray,
                       cls4: jnp.ndarray, mask4: jnp.ndarray,
-                      rng: jax.Array, *, mosaic_p: float = 0.5,
+                      rng: jax.Array, use_mosaic: jnp.ndarray, *,
                       flip_p: float = 0.5, hsv: bool = True,
                       pad_value: float = 114.0,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
@@ -60,13 +60,15 @@ def device_mosaic_one(images4: jnp.ndarray, boxes4: jnp.ndarray,
     """One sample: 4 letterboxed tiles → augmented (S,S,3) f32 + targets.
 
     boxes4: xyxy in tile coordinates. Returns (img [0,1], gt cxcywh (4M,4),
-    cls (4M,), mask (4M,)). When the mosaic coin flips tails, tile 0 is
-    used as-is (the non-mosaic path) and tiles 1-3 are masked out.
+    cls (4M,), mask (4M,)). ``use_mosaic`` is the per-sample mosaic coin —
+    flipped on HOST (DeviceAugPipeline) so tiles 1-3 are only DECODED when
+    the mosaic actually fires (halves average image reads at p=0.5; the
+    host here can be the bottleneck). When false, tile 0 is used as-is and
+    tiles 1-3 are masked out.
     """
     _, s, _, _ = images4.shape
     m = boxes4.shape[1]
-    k_coin, k_oy, k_ox, k_flip, k_hsv = jax.random.split(rng, 5)
-    use_mosaic = jax.random.uniform(k_coin) < mosaic_p
+    k_oy, k_ox, k_flip, k_hsv = jax.random.split(rng, 4)
 
     # 2S canvas with the 4 tiles in quadrants
     canvas = jnp.full((2 * s, 2 * s, 3), pad_value, jnp.float32)
@@ -119,15 +121,15 @@ def device_mosaic_one(images4: jnp.ndarray, boxes4: jnp.ndarray,
 
 
 def device_augment_batch(batch: Dict, rng: jax.Array, *,
-                         mosaic_p: float = 0.5, flip_p: float = 0.5,
-                         hsv: bool = True) -> Dict:
+                         flip_p: float = 0.5, hsv: bool = True) -> Dict:
     """Batch wrapper: batch has images4 (B,4,S,S,3) uint8, boxes4
-    (B,4,M,4), cls4 (B,4,M), mask4 (B,4,M) → train-step batch dict."""
+    (B,4,M,4), cls4 (B,4,M), mask4 (B,4,M), mosaic4 (B,) bool →
+    train-step batch dict."""
     b = batch["images4"].shape[0]
     rngs = jax.random.split(rng, b)
     img, gt, cls, mask = jax.vmap(
-        lambda i4, b4, c4, m4, r: device_mosaic_one(
-            i4, b4, c4, m4, r, mosaic_p=mosaic_p, flip_p=flip_p, hsv=hsv)
+        lambda i4, b4, c4, m4, r, um: device_mosaic_one(
+            i4, b4, c4, m4, r, um, flip_p=flip_p, hsv=hsv)
     )(batch["images4"], batch["boxes4"], batch["cls4"], batch["mask4"],
-      rngs)
+      rngs, batch["mosaic4"])
     return {"image": img, "gt_boxes": gt, "gt_cls": cls, "gt_mask": mask}

@@ -189,7 +189,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         loader = TrainLoader(pipe, cfg.train.batch_size,
                              seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers,
-                             keys=("images4", "boxes4", "cls4", "mask4"))
+                             keys=("images4", "boxes4", "cls4", "mask4",
+                                   "mosaic4"))
     else:
         pipe = TrainPipeline(ds, cfg.model.img_size,
                              mosaic_p=cfg.train.mosaic_p,
@@ -243,7 +244,6 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
             def step_fn(state, batch):
                 r = jax.random.fold_in(aug_key, state.step)
                 aug = device_augment_batch(batch, r,
-                                           mosaic_p=cfg.train.mosaic_p,
                                            flip_p=cfg.train.flip_p,
                                            hsv=cfg.train.hsv)
                 return base_step(state, aug)

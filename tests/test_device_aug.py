@@ -34,7 +34,7 @@ def test_non_mosaic_path_keeps_tile0():
     i4, b4, c4, m4 = _tiles()
     img, gt, cls, mask = device_mosaic_one(i4, b4, c4, m4,
                                            jax.random.PRNGKey(0),
-                                           mosaic_p=0.0, flip_p=0.0,
+                                           jnp.asarray(False), flip_p=0.0,
                                            hsv=False)
     np.testing.assert_allclose(np.asarray(img) * 255.0,
                                np.asarray(i4[0], np.float32), atol=1e-3)
@@ -49,7 +49,7 @@ def test_mosaic_path_box_geometry():
     i4, b4, c4, m4 = _tiles()
     img, gt, cls, mask = device_mosaic_one(i4, b4, c4, m4,
                                            jax.random.PRNGKey(3),
-                                           mosaic_p=1.0, flip_p=0.0,
+                                           jnp.asarray(True), flip_p=0.0,
                                            hsv=False)
     gt, cls, mask = np.asarray(gt), np.asarray(cls), np.asarray(mask)
     assert mask.sum() >= 1                       # some boxes survive crop
@@ -62,7 +62,8 @@ def test_flip_flips():
     i4, b4, c4, m4 = _tiles()
     img, gt, _, mask = device_mosaic_one(i4, b4, c4, m4,
                                          jax.random.PRNGKey(0),
-                                         mosaic_p=0.0, flip_p=1.0, hsv=False)
+                                         jnp.asarray(False), flip_p=1.0,
+                                         hsv=False)
     np.testing.assert_allclose(np.asarray(img) * 255.0,
                                np.asarray(i4[0], np.float32)[:, ::-1],
                                atol=1e-3)
@@ -86,9 +87,11 @@ def test_pipeline_loader_and_jitted_batch_aug():
     ds = COCODataset(ann, imgs)
     pipe = DeviceAugPipeline(ds, 64, max_boxes=8, seed=0)
     loader = TrainLoader(pipe, batch_size=4, num_workers=2,
-                         keys=("images4", "boxes4", "cls4", "mask4"))
+                         keys=("images4", "boxes4", "cls4", "mask4",
+                               "mosaic4"))
     batch = next(iter(loader.epoch(0)))
     assert batch["images4"].shape == (4, 4, 64, 64, 3)
+    assert batch["mosaic4"].shape == (4,)
     out = jax.jit(lambda b, r: device_augment_batch(b, r))(
         {k: jnp.asarray(v) for k, v in batch.items()},
         jax.random.PRNGKey(0))
