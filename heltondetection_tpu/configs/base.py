@@ -23,6 +23,8 @@ class DataConfig:
     val_imgs: str = ""
     class_names: Optional[Sequence[str]] = None
     max_boxes: int = 128
+    cache_images: bool = False   # RAM-cache decoded images (ultralytics
+    # --cache ram lineage); budget 8 GiB
 
 
 @dataclass

@@ -235,3 +235,35 @@ class DOTADataset:
                 xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
                                  b[:, 3] - b[:, 1]], 1)
                 det_eval.add_gt(s["img_id"], xywh, s["classes"])
+
+
+class CachedDataset:
+    """RAM image cache wrapper for any reader (the reference lineage's
+    ultralytics ``--cache ram`` knob): re-decoding JPEGs every epoch is the
+    dominant host cost (one cv2.imread ≈ 5-10 ms), so ``load`` results are
+    memoized up to a byte budget. Threads may race on first load — the
+    double decode is benign and the dict write is atomic under the GIL.
+    """
+
+    def __init__(self, ds, max_bytes: int = 8 << 30):
+        self.ds = ds
+        self.max_bytes = max_bytes
+        self._cache: Dict[int, Dict] = {}
+        self._bytes = 0
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getattr__(self, name):
+        return getattr(self.ds, name)
+
+    def load(self, idx: int) -> Dict:
+        hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
+        s = self.ds.load(idx)
+        size = s["image"].nbytes
+        if self._bytes + size <= self.max_bytes:
+            self._cache[idx] = s
+            self._bytes += size
+        return s

@@ -31,17 +31,21 @@ from heltondetection_tpu.utils.log import TBWriter, get_logger
 
 
 def build_dataset(dc, split: str = "train"):
-    from heltondetection_tpu.data.readers import (COCODataset, DOTADataset,
-                                                  YOLODataset)
+    from heltondetection_tpu.data.readers import (CachedDataset, COCODataset,
+                                                  DOTADataset, YOLODataset)
     ann = dc.train_ann if split == "train" else dc.val_ann
     imgs = dc.train_imgs if split == "train" else dc.val_imgs
     if dc.format == "coco":
-        return COCODataset(ann, imgs)
-    if dc.format == "yolo":
-        return YOLODataset(imgs, ann, dc.class_names)
-    if dc.format == "dota":
-        return DOTADataset(imgs, ann, dc.class_names)
-    raise ValueError(f"unknown dataset format {dc.format}")
+        ds = COCODataset(ann, imgs)
+    elif dc.format == "yolo":
+        ds = YOLODataset(imgs, ann, dc.class_names)
+    elif dc.format == "dota":
+        ds = DOTADataset(imgs, ann, dc.class_names)
+    else:
+        raise ValueError(f"unknown dataset format {dc.format}")
+    if getattr(dc, "cache_images", False):
+        ds = CachedDataset(ds)
+    return ds
 
 
 def build_model(mc, num_classes: int):

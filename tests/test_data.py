@@ -176,3 +176,24 @@ def test_eval_loader_pads_tail(coco_ds):
     assert tail["img_id"][-1] is None  # padding marker
     real = [i for b in batches for i in b["img_id"] if i is not None]
     assert len(real) == 8 and len(set(real)) == 8
+
+
+def test_cached_dataset_wrapper():
+    """CachedDataset memoizes decoded samples and delegates everything
+    else (ultralytics --cache ram lineage)."""
+    import tempfile
+    from synth_data import build_coco_dataset
+    from heltondetection_tpu.data.readers import CachedDataset, COCODataset
+    root = tempfile.mkdtemp()
+    ann, imgs = build_coco_dataset(root, n_images=4, hw=(64, 96))
+    ds = CachedDataset(COCODataset(ann, imgs))
+    assert len(ds) == 4 and ds.num_classes > 0
+    a = ds.load(1)
+    b = ds.load(1)
+    assert a is b                      # cache hit returns the same object
+    np.testing.assert_array_equal(a["image"], ds.ds.load(1)["image"])
+    # byte budget: a tiny budget disables caching but stays correct
+    small = CachedDataset(COCODataset(ann, imgs), max_bytes=10)
+    x = small.load(0); y = small.load(0)
+    assert x is not y
+    np.testing.assert_array_equal(x["image"], y["image"])
