@@ -58,6 +58,10 @@ class TrainConfig:
     hsv: bool = True
     flip_p: float = 0.5
     device_aug: bool = False   # mosaic/flip/HSV as fused on-device XLA ops
+    native_loader: bool = True  # C++ batch pipeline (native/loader_core.cpp)
+    # when buildable; falls back to the pure-Python path otherwise
+    decode_in_pool: bool = False  # decode JPEGs inside the C++ pool
+    # (libjpeg; no EXIF rotation — leave off for EXIF-oriented datasets)
     ema: bool = True
     focal: str = "none"               # none | root | root_cls (README.md:117)
     label_smoothing: float = 0.0

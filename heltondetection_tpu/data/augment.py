@@ -43,11 +43,17 @@ def letterbox_np(img: np.ndarray, boxes: np.ndarray, dst: int,
         "scale": scale, "pad_x": float(left), "pad_y": float(top)}
 
 
+def hsv_params(rng: np.random.Generator, h_gain: float = 0.015,
+               s_gain: float = 0.7, v_gain: float = 0.4) -> np.ndarray:
+    """HSV jitter gain draws (shared by the Python and native pixel paths)."""
+    return rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+
+
 def random_hsv(img: np.ndarray, rng: np.random.Generator,
                h_gain: float = 0.015, s_gain: float = 0.7,
                v_gain: float = 0.4) -> np.ndarray:
     """Ultralytics-style HSV jitter via LUTs (uint8 in, uint8 out)."""
-    r = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+    r = hsv_params(rng, h_gain, s_gain, v_gain)
     hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
     x = np.arange(256)
     lut_h = ((x * r[0]) % 180).astype(np.uint8)
@@ -58,16 +64,83 @@ def random_hsv(img: np.ndarray, rng: np.random.Generator,
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 
 
-def horizontal_flip(img: np.ndarray, boxes: np.ndarray
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-    w = img.shape[1]
-    img = np.ascontiguousarray(img[:, ::-1])
+def flip_boxes(boxes: np.ndarray, w: int) -> np.ndarray:
+    """Box transform of :func:`horizontal_flip` (shared with native path)."""
     if len(boxes):
         boxes = boxes.copy()
         x1 = boxes[:, 0].copy()
         boxes[:, 0] = w - boxes[:, 2]
         boxes[:, 2] = w - x1
-    return img, boxes
+    return boxes
+
+
+def horizontal_flip(img: np.ndarray, boxes: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    w = img.shape[1]
+    if cv2 is not None:
+        img = cv2.flip(img, 1)  # SIMD; ~6x the numpy negative-stride copy
+    else:
+        img = np.ascontiguousarray(img[:, ::-1])
+    return img, flip_boxes(boxes, w)
+
+
+def mosaic_placement(i: int, nw: int, nh: int, xc: int, yc: int, s: int
+                     ) -> Tuple[int, int, int, int, int, int]:
+    """Quadrant placement arithmetic shared by the Python pixel path, the
+    box transform, and the native C++ core (native/loader_core.cpp keeps an
+    identical copy of this function). Returns (x1a, y1a, x2a, y2a, x1b, y1b):
+    the canvas rect and the matching origin in the resized tile."""
+    if i == 0:   # top-left quadrant, anchored at (xc, yc)
+        x1a, y1a = max(xc - nw, 0), max(yc - nh, 0)
+        x2a, y2a = xc, yc
+    elif i == 1:  # top-right
+        x1a, y1a = xc, max(yc - nh, 0)
+        x2a, y2a = min(xc + nw, 2 * s), yc
+    elif i == 2:  # bottom-left
+        x1a, y1a = max(xc - nw, 0), yc
+        x2a, y2a = xc, min(yc + nh, 2 * s)
+    else:         # bottom-right
+        x1a, y1a = xc, yc
+        x2a, y2a = min(xc + nw, 2 * s), min(yc + nh, 2 * s)
+    cw, ch = x2a - x1a, y2a - y1a
+    x1b = nw - cw if i in (0, 2) else 0
+    y1b = nh - ch if i in (0, 1) else 0
+    return x1a, y1a, x2a, y2a, x1b, y1b
+
+
+def mosaic_boxes(samples: Sequence[Dict], s: int, xc: int, yc: int,
+                 min_box: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Box/class transform of :func:`mosaic4` (pixel-free — shared with the
+    native loader path, which runs the pixels in C++)."""
+    all_boxes, all_cls = [], []
+    for i, sample in enumerate(samples[:4]):
+        boxes = sample["boxes"]
+        h, w = sample["image"].shape[:2] if "image" in sample \
+            else (sample["height"], sample["width"])
+        scale = min(s / h, s / w)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        x1a, y1a, _, _, x1b, y1b = mosaic_placement(i, nw, nh, xc, yc, s)
+        if len(boxes):
+            b = boxes * scale
+            b = b + np.array([x1a - x1b, y1a - y1b, x1a - x1b, y1a - y1b],
+                             np.float32)
+            all_boxes.append(b)
+            all_cls.append(sample["classes"])
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0)
+        classes = np.concatenate(all_cls, 0)
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        classes = np.zeros((0,), np.int32)
+    off = s // 2
+    if len(boxes):
+        boxes -= off
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, s)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > min_box) & \
+               ((boxes[:, 3] - boxes[:, 1]) > min_box)
+        boxes, classes = boxes[keep], classes[keep]
+    return boxes.astype(np.float32), classes
 
 
 def mosaic4(samples: Sequence[Dict], dst: int, rng: np.random.Generator,
@@ -83,74 +156,29 @@ def mosaic4(samples: Sequence[Dict], dst: int, rng: np.random.Generator,
     yc = int(rng.uniform(0.5 * s, 1.5 * s))
     xc = int(rng.uniform(0.5 * s, 1.5 * s))
     canvas = np.full((2 * s, 2 * s, 3), pad_value, np.uint8)
-    all_boxes, all_cls = [], []
     for i, sample in enumerate(samples[:4]):
         img = sample["image"]
-        boxes = sample["boxes"].copy()
         h, w = img.shape[:2]
         scale = min(s / h, s / w)  # letterbox-scale each tile
         nw, nh = int(round(w * scale)), int(round(h * scale))
         if (nw, nh) != (w, h):
             img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        if i == 0:   # top-left quadrant, anchored at (xc, yc)
-            x1a, y1a = max(xc - nw, 0), max(yc - nh, 0)
-            x2a, y2a = xc, yc
-        elif i == 1:  # top-right
-            x1a, y1a = xc, max(yc - nh, 0)
-            x2a, y2a = min(xc + nw, 2 * s), yc
-        elif i == 2:  # bottom-left
-            x1a, y1a = max(xc - nw, 0), yc
-            x2a, y2a = xc, min(yc + nh, 2 * s)
-        else:         # bottom-right
-            x1a, y1a = xc, yc
-            x2a, y2a = min(xc + nw, 2 * s), min(yc + nh, 2 * s)
-        # source crop matching the destination size
+        x1a, y1a, x2a, y2a, x1b, y1b = mosaic_placement(i, nw, nh, xc, yc, s)
         cw, ch = x2a - x1a, y2a - y1a
-        if i == 0:
-            x1b, y1b = nw - cw, nh - ch
-        elif i == 1:
-            x1b, y1b = 0, nh - ch
-        elif i == 2:
-            x1b, y1b = nw - cw, 0
-        else:
-            x1b, y1b = 0, 0
         canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + ch, x1b:x1b + cw]
-        if len(boxes):
-            b = boxes * scale
-            b += np.array([x1a - x1b, y1a - y1b, x1a - x1b, y1a - y1b],
-                          np.float32)
-            all_boxes.append(b)
-            all_cls.append(sample["classes"])
-    if all_boxes:
-        boxes = np.concatenate(all_boxes, 0)
-        classes = np.concatenate(all_cls, 0)
-    else:
-        boxes = np.zeros((0, 4), np.float32)
-        classes = np.zeros((0,), np.int32)
+    boxes, classes = mosaic_boxes(samples, s, xc, yc, min_box)
     # center crop (s/2 .. 3s/2) → final dst canvas
     off = s // 2
     canvas = canvas[off:off + s, off:off + s]
-    if len(boxes):
-        boxes -= off
-        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, s)
-        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, s)
-        keep = ((boxes[:, 2] - boxes[:, 0]) > min_box) & \
-               ((boxes[:, 3] - boxes[:, 1]) > min_box)
-        boxes, classes = boxes[keep], classes[keep]
-    return canvas, boxes.astype(np.float32), classes
+    return canvas, boxes, classes
 
 
-def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
-                  rng: np.random.Generator, *, degrees: float = 0.0,
-                  translate: float = 0.1, scale: float = 0.5,
-                  shear: float = 0.0, pad_value: int = 114,
-                  min_box: float = 2.0):
-    """YOLOv5-style random affine (rotate/scale/translate/shear) applied
-    after mosaic (lineage utils/augmentations.py random_perspective; the
-    reference's '丰富的数据增强方法' README.md:10). Box labels are transformed by
-    mapping all 4 corners and taking the axis-aligned hull, then filtered
-    by size and clip like the lineage code."""
-    h, w = img.shape[:2]
+def affine_params(rng: np.random.Generator, w: int, h: int, *,
+                  degrees: float = 0.0, translate: float = 0.1,
+                  scale: float = 0.5, shear: float = 0.0
+                  ) -> Tuple[np.ndarray, float]:
+    """Random-affine parameter draws (shared by the Python and native pixel
+    paths — identical rng consumption). Returns (2x3 forward matrix, scale)."""
     a = rng.uniform(-degrees, degrees)
     s = rng.uniform(1 - scale, 1 + scale)
     rot = cv2.getRotationMatrix2D((w / 2, h / 2), a, s)    # 2x3
@@ -161,10 +189,15 @@ def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
         sh_y = np.tan(np.radians(rng.uniform(-shear, shear)))
         shear_m = np.array([[1, sh_x, 0], [sh_y, 1, 0]], np.float64)
         rot = shear_m @ np.vstack([rot, [0, 0, 1]])
-    out = cv2.warpAffine(img, rot, (w, h),
-                         borderValue=(pad_value,) * 3)
+    return rot, s
+
+
+def affine_boxes(boxes: np.ndarray, classes: np.ndarray, rot: np.ndarray,
+                 s: float, w: int, h: int, min_box: float = 2.0):
+    """Box transform of :func:`random_affine` (pixel-free — shared with the
+    native loader): 4-corner map → axis-aligned hull → candidate filter."""
     if len(boxes) == 0:
-        return out, boxes, classes
+        return boxes, classes
     n = len(boxes)
     corners = np.ones((n * 4, 3))
     corners[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(n * 4, 2)
@@ -183,7 +216,26 @@ def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     ar = np.maximum(w_new / (h_new + 1e-9), h_new / (w_new + 1e-9))
     keep = (w_new > min_box) & (h_new > min_box) & \
            (w_new * h_new / (w_old * h_old + 1e-9) > 0.1) & (ar < 100)
-    return out, new[keep].astype(np.float32), classes[keep]
+    return new[keep].astype(np.float32), classes[keep]
+
+
+def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+                  rng: np.random.Generator, *, degrees: float = 0.0,
+                  translate: float = 0.1, scale: float = 0.5,
+                  shear: float = 0.0, pad_value: int = 114,
+                  min_box: float = 2.0):
+    """YOLOv5-style random affine (rotate/scale/translate/shear) applied
+    after mosaic (lineage utils/augmentations.py random_perspective; the
+    reference's '丰富的数据增强方法' README.md:10). Box labels are transformed by
+    mapping all 4 corners and taking the axis-aligned hull, then filtered
+    by size and clip like the lineage code."""
+    h, w = img.shape[:2]
+    rot, s = affine_params(rng, w, h, degrees=degrees, translate=translate,
+                           scale=scale, shear=shear)
+    out = cv2.warpAffine(img, rot, (w, h),
+                         borderValue=(pad_value,) * 3)
+    boxes, classes = affine_boxes(boxes, classes, rot, s, w, h, min_box)
+    return out, boxes, classes
 
 
 class TrainPipeline:

@@ -27,6 +27,30 @@ def device_prep(images_u8: jnp.ndarray) -> jnp.ndarray:
     return images_u8.astype(jnp.float32) / 255.0
 
 
+def _prefetched(it: Iterator, depth: int) -> Iterator:
+    """Run ``it`` on a background thread, keeping ``depth`` items ready."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _stack(samples: List[Dict], keys) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k in keys:
@@ -59,11 +83,32 @@ class TrainLoader:
     def steps_per_epoch(self) -> int:
         return len(self.pipe) // self.batch_size
 
+    def _native_pool(self):
+        if not hasattr(self, "_pool"):
+            from heltondetection_tpu.data.native_loader import NativePool
+            self._pool = NativePool(self.num_workers)
+        return self._pool
+
     def epoch(self, epoch: int) -> Iterator[Dict[str, Any]]:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
         order = rng.permutation(len(self.pipe))
         n_batches = self.steps_per_epoch()
         keys = self.keys
+
+        if hasattr(self.pipe, "sample_batch"):
+            # native path: the C++ pool assembles each batch in one call
+            # (GIL released); a single producer thread keeps `prefetch`
+            # batches in flight ahead of the device step.
+            pool = self._native_pool()
+
+            def batches():
+                for bi in range(n_batches):
+                    idxs = order[bi * self.batch_size:
+                                 (bi + 1) * self.batch_size]
+                    yield self.pipe.sample_batch(idxs, epoch, pool)
+
+            yield from _prefetched(batches(), self.prefetch)
+            return
 
         def make_batch(bi: int) -> Dict[str, Any]:
             idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
@@ -107,11 +152,33 @@ class EvalLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
 
+    def _native_pool(self):
+        if not hasattr(self, "_pool"):
+            from heltondetection_tpu.data.native_loader import NativePool
+            self._pool = NativePool(self.num_workers)
+        return self._pool
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         n = len(self.pipe)
         bs = self.batch_size
         n_batches = (n + bs - 1) // bs
         keys = ("image", "img_id", "scale", "pad_x", "pad_y", "orig_hw")
+
+        if hasattr(self.pipe, "sample_batch"):
+            pool = self._native_pool()
+
+            def batches():
+                for bi in range(n_batches):
+                    idxs = list(range(bi * bs, min((bi + 1) * bs, n)))
+                    samples = self.pipe.sample_batch(idxs, pool)
+                    while len(samples) < bs:  # pad the tail batch
+                        pad = dict(samples[-1])
+                        pad["img_id"] = None
+                        samples.append(pad)
+                    yield _stack(samples, keys)
+
+            yield from _prefetched(batches(), self.prefetch)
+            return
 
         def make_batch(bi: int) -> Dict[str, Any]:
             idxs = list(range(bi * bs, min((bi + 1) * bs, n)))

@@ -1,0 +1,321 @@
+"""Native data-loader pipelines: C++ batch assembly over the loader core.
+
+The TPU-native equivalent of the reference's torch DataLoader machinery
+(C++ under the Python API; SURVEY.md §3.1 names the dataloader-worker mosaic
+pipeline as the host hot loop). Python's per-sample role shrinks to drawing
+the random parameters (identical rng consumption to augment.TrainPipeline —
+same (seed, epoch, index) → same content) and transforming the tiny box
+arrays via the shared helpers in augment.py; every pixel pass (optional
+JPEG decode, mosaic/letterbox render, affine warp, HSV jitter, flip) runs
+inside ONE ``hd_pool_run`` call on a persistent C++ thread pool
+(native/loader_core.cpp). Pixel output is bit-identical to the pure-Python
+pipeline — except the affine warp, which may differ by a few intensity
+levels when the pip cv2 wheel and the system OpenCV C++ library are
+different releases (box coordinates stay exact: shared numpy math). Pinned
+by tests/test_native_loader.py.
+
+Decode modes:
+  * default — sources come from ``dataset.load`` (cv2 decode, composes with
+    readers.CachedDataset for warm-epoch RAM caching);
+  * ``decode_in_pool=True`` — raw JPEG bytes are handed to the pool and
+    decoded by libjpeg inside C++ (bit-identical to cv2.imdecode; no EXIF
+    rotation — route EXIF-oriented files through the default mode).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from heltondetection_tpu.data.augment import (affine_boxes, affine_params,
+                                              flip_boxes, hsv_params,
+                                              mosaic_boxes)
+from heltondetection_tpu.native import HdPlan, get_loader_lib
+
+
+def native_loader_available() -> bool:
+    return get_loader_lib() is not None
+
+
+class NativePool:
+    """Persistent C++ worker pool; one per loader."""
+
+    def __init__(self, num_threads: Optional[int] = None):
+        self._lib = get_loader_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader core unavailable")
+        n = num_threads or min(32, (os.cpu_count() or 1) * 2)
+        self._handle = self._lib.hd_pool_create(int(n))
+
+    def run(self, plans: "ctypes.Array[HdPlan]", n: int) -> None:
+        self._lib.hd_pool_run(self._handle, plans, n)
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.hd_pool_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover — interpreter-exit ordering
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _ptr(a: np.ndarray) -> int:
+    return a.ctypes.data
+
+
+class NativeTrainPipeline:
+    """Drop-in for augment.TrainPipeline with C++ pixel execution.
+
+    ``plan(idx, epoch, out)`` draws the sample's random parameters, computes
+    its gt arrays (shared box helpers), and returns the HdPlan rendering the
+    pixels into ``out`` — batch loaders collect plans and run them in one
+    pool call; ``sample`` keeps the per-sample API for the generic loaders.
+    """
+
+    def __init__(self, dataset, img_size: int, *, mosaic_p: float = 0.5,
+                 hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
+                 seed: int = 0, affine: bool = True,
+                 affine_scale: float = 0.5, affine_translate: float = 0.1,
+                 degrees: float = 0.0, decode_in_pool: bool = False):
+        self.ds = dataset
+        self.img_size = img_size
+        self.mosaic_p = mosaic_p
+        self.hsv = hsv
+        self.flip_p = flip_p
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.affine = affine
+        self.affine_scale = affine_scale
+        self.affine_translate = affine_translate
+        self.degrees = degrees
+        self.decode_in_pool = (decode_in_pool
+                               and hasattr(dataset, "load_encoded"))
+        self._lib = get_loader_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader core unavailable")
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _fetch(self, idx: int) -> Dict:
+        """Raw sample: decoded image (default) or JPEG bytes + dims."""
+        if self.decode_in_pool:
+            return self.ds.load_encoded(idx)
+        return self.ds.load(idx)
+
+    def plan(self, idx: int, epoch: int, out: np.ndarray
+             ) -> Tuple[HdPlan, Dict[str, Any], List]:
+        """Returns (plan, targets, keepalive). ``out`` is the (S,S,3) uint8
+        slot the C++ side renders into; ``targets`` are the fixed-shape gt
+        arrays; ``keepalive`` holds the buffers the plan points at."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        s = self.img_size
+        p = HdPlan()
+        p.S = s
+        p.pad_value = 114
+        p.out = _ptr(out)
+        keep: List = [out]
+
+        use_mosaic = rng.uniform() < self.mosaic_p and len(self.ds) >= 4
+        if use_mosaic:
+            others = rng.integers(0, len(self.ds), 3)
+            raws = [self._fetch(idx)] + [self._fetch(int(j)) for j in others]
+            p.mode = 1
+            p.n_tiles = 4
+            # mosaic4's draws, same order
+            p.yc = int(rng.uniform(0.5 * s, 1.5 * s))
+            p.xc = int(rng.uniform(0.5 * s, 1.5 * s))
+            for t, raw in enumerate(raws):
+                self._set_src(p, t, raw, keep)
+            boxes, classes = mosaic_boxes(raws, s, p.xc, p.yc)
+            if self.affine:
+                rot, sc = affine_params(
+                    rng, s, s, degrees=self.degrees,
+                    translate=self.affine_translate, scale=self.affine_scale)
+                p.do_affine = 1
+                rot64 = np.ascontiguousarray(rot, np.float64)
+                ctypes.memmove(p.m, rot64.ctypes.data, 6 * 8)
+                boxes, classes = affine_boxes(boxes, classes, rot, sc, s, s)
+        else:
+            raw = self._fetch(idx)
+            p.mode = 0
+            p.n_tiles = 1
+            self._set_src(p, 0, raw, keep)
+            h, w = self._dims(raw)
+            scale = min(s / h, s / w)
+            nw, nh = int(round(w * scale)), int(round(h * scale))
+            left, top = (s - nw) // 2, (s - nh) // 2
+            boxes = raw["boxes"]
+            if len(boxes):
+                boxes = boxes * scale + np.array([left, top, left, top],
+                                                 np.float32)
+            boxes = boxes.astype(np.float32)
+            classes = raw["classes"]
+        if self.hsv:
+            r = hsv_params(rng)
+            p.do_hsv = 1
+            p.r0, p.r1, p.r2 = float(r[0]), float(r[1]), float(r[2])
+        if rng.uniform() < self.flip_p:
+            p.do_flip = 1
+            boxes = flip_boxes(boxes, s)
+
+        m = self.max_boxes
+        gt = np.zeros((m, 4), np.float32)
+        cl = np.zeros((m,), np.int32)
+        mask = np.zeros((m,), bool)
+        n = min(len(classes), m)
+        if n:
+            b = boxes[:n]
+            gt[:n, 0] = (b[:, 0] + b[:, 2]) / 2
+            gt[:n, 1] = (b[:, 1] + b[:, 3]) / 2
+            gt[:n, 2] = b[:, 2] - b[:, 0]
+            gt[:n, 3] = b[:, 3] - b[:, 1]
+            cl[:n] = classes[:n]
+            mask[:n] = True
+        targets = {"gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
+        return p, targets, keep
+
+    def _dims(self, raw: Dict) -> Tuple[int, int]:
+        if "image" in raw:
+            return raw["image"].shape[:2]
+        return raw["height"], raw["width"]
+
+    def _set_src(self, p: HdPlan, t: int, raw: Dict, keep: List) -> None:
+        if "image" in raw:
+            img = np.ascontiguousarray(raw["image"])
+            keep.append(img)
+            p.src[t] = _ptr(img)
+            p.sh[t], p.sw[t] = img.shape[:2]
+        else:  # encoded: decode in pool
+            buf = raw["jpeg"]
+            keep.append(buf)
+            p.jpeg[t] = _ptr(buf)
+            p.jlen[t] = buf.nbytes
+            p.sh[t], p.sw[t] = raw["height"], raw["width"]
+
+    def sample(self, idx: int, epoch: int = 0) -> Dict:
+        """Single-sample fallback (generic TrainLoader compatibility)."""
+        out = np.empty((self.img_size, self.img_size, 3), np.uint8)
+        p, targets, keep = self.plan(idx, epoch, out)
+        self._lib.hd_run_plan(ctypes.byref(p))
+        if p.status != 0:
+            raise RuntimeError(f"native loader plan failed (status "
+                               f"{p.status}) for index {idx}")
+        return {"image": out, **targets}
+
+    def sample_batch(self, idxs: Sequence[int], epoch: int,
+                     pool: NativePool) -> Dict[str, np.ndarray]:
+        """Assemble a whole batch with one C++ pool call."""
+        bsz = len(idxs)
+        s = self.img_size
+        images = np.empty((bsz, s, s, 3), np.uint8)
+        plans = (HdPlan * bsz)()
+        keeps: List = []
+        tgt: List[Dict] = []
+        for i, idx in enumerate(idxs):
+            p, targets, keep = self.plan(int(idx), epoch, images[i])
+            plans[i] = p
+            keeps.append(keep)
+            tgt.append(targets)
+        pool.run(plans, bsz)
+        for i in range(bsz):
+            if plans[i].status != 0:
+                raise RuntimeError(
+                    f"native loader plan failed (status {plans[i].status}) "
+                    f"for index {idxs[i]}")
+        return {
+            "image": images,
+            "gt_boxes": np.stack([t["gt_boxes"] for t in tgt]),
+            "gt_cls": np.stack([t["gt_cls"] for t in tgt]),
+            "gt_mask": np.stack([t["gt_mask"] for t in tgt]),
+        }
+
+
+class NativeEvalPipeline:
+    """Letterbox-only eval preprocessing through the C++ core (drop-in for
+    augment.EvalPipeline, plus ``sample_batch``)."""
+
+    def __init__(self, dataset, img_size: int, *,
+                 decode_in_pool: bool = False):
+        self.ds = dataset
+        self.img_size = img_size
+        self.decode_in_pool = (decode_in_pool
+                               and hasattr(dataset, "load_encoded"))
+        self._lib = get_loader_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader core unavailable")
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _fetch(self, idx: int) -> Dict:
+        if self.decode_in_pool:
+            return self.ds.load_encoded(idx)
+        return self.ds.load(idx)
+
+    def plan(self, idx: int, out: np.ndarray):
+        raw = self._fetch(idx)
+        p = HdPlan()
+        p.mode = 0
+        p.n_tiles = 1
+        p.S = self.img_size
+        p.pad_value = 114
+        p.out = _ptr(out)
+        keep: List = [out]
+        if "image" in raw:
+            img = np.ascontiguousarray(raw["image"])
+            keep.append(img)
+            p.src[0] = _ptr(img)
+            h, w = img.shape[:2]
+            p.sh[0], p.sw[0] = h, w
+        else:
+            buf = raw["jpeg"]
+            keep.append(buf)
+            p.jpeg[0] = _ptr(buf)
+            p.jlen[0] = buf.nbytes
+            h, w = raw["height"], raw["width"]
+            p.sh[0], p.sw[0] = h, w
+        s = self.img_size
+        scale = min(s / h, s / w)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        meta = {"img_id": raw["img_id"], "scale": scale,
+                "pad_x": float((s - nw) // 2), "pad_y": float((s - nh) // 2),
+                "orig_hw": (h, w)}
+        return p, meta, keep
+
+    def sample(self, idx: int) -> Dict:
+        out = np.empty((self.img_size, self.img_size, 3), np.uint8)
+        p, meta, keep = self.plan(idx, out)
+        self._lib.hd_run_plan(ctypes.byref(p))
+        if p.status != 0:
+            raise RuntimeError(f"native loader plan failed (status "
+                               f"{p.status}) for index {idx}")
+        return {"image": out, **meta}
+
+    def sample_batch(self, idxs: Sequence[int], pool: NativePool
+                     ) -> List[Dict]:
+        bsz = len(idxs)
+        s = self.img_size
+        images = np.empty((bsz, s, s, 3), np.uint8)
+        plans = (HdPlan * bsz)()
+        keeps: List = []
+        metas: List[Dict] = []
+        for i, idx in enumerate(idxs):
+            p, meta, keep = self.plan(int(idx), images[i])
+            plans[i] = p
+            keeps.append(keep)
+            metas.append(meta)
+        pool.run(plans, bsz)
+        for i in range(bsz):
+            if plans[i].status != 0:
+                raise RuntimeError(
+                    f"native loader plan failed (status {plans[i].status}) "
+                    f"for index {idxs[i]}")
+        return [{"image": images[i], **metas[i]} for i in range(bsz)]

@@ -90,6 +90,34 @@ class COCODataset:
             "file": im["file_name"],
         }
 
+    def load_encoded(self, idx: int) -> Dict:
+        """Raw JPEG bytes + annotation-file dims (no decode): feeds the
+        native loader's in-pool libjpeg decode (data/native_loader.py,
+        ``decode_in_pool=True``). Non-JPEG files are not supported here —
+        use ``load``."""
+        img_id = self.ids[idx]
+        im = self.images[img_id]
+        with open(os.path.join(self.img_dir, im["file_name"]), "rb") as f:
+            buf = np.frombuffer(f.read(), np.uint8)
+        boxes, classes, crowd = [], [], []
+        for a in self.anns_by_img.get(img_id, []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_to_label[a["category_id"]])
+            crowd.append(a.get("iscrowd", 0))
+        return {
+            "jpeg": buf,
+            "height": im["height"],
+            "width": im["width"],
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "iscrowd": np.asarray(crowd, np.int32),
+            "img_id": img_id,
+            "file": im["file_name"],
+        }
+
     def gt_for_eval(self, det_eval):
         """Register all ground truth (xywh + crowd flags) with a DetEval."""
         for idx in range(len(self)):

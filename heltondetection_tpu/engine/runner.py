@@ -126,8 +126,17 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                        max_det=cfg.eval.max_det, multi_label=multi_label)
     det = DetEval(nc)
     ds.gt_for_eval(det)
-    loader = EvalLoader(EvalPipeline(ds, cfg.model.img_size),
-                        cfg.eval.batch_size,
+    eval_pipe = None
+    if cfg.train.native_loader:
+        from heltondetection_tpu.data.native_loader import (
+            NativeEvalPipeline, native_loader_available)
+        if native_loader_available():
+            eval_pipe = NativeEvalPipeline(
+                ds, cfg.model.img_size,
+                decode_in_pool=cfg.train.decode_in_pool)
+    if eval_pipe is None:
+        eval_pipe = EvalPipeline(ds, cfg.model.img_size)
+    loader = EvalLoader(eval_pipe, cfg.eval.batch_size,
                         num_workers=cfg.train.num_workers)
     stats = ev.run(loader, det_eval=det, verbose=False)
     if verbose:
@@ -196,11 +205,24 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                              keys=("images4", "boxes4", "cls4", "mask4",
                                    "mosaic4"))
     else:
-        pipe = TrainPipeline(ds, cfg.model.img_size,
-                             mosaic_p=cfg.train.mosaic_p,
-                             hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
-                             max_boxes=cfg.data.max_boxes,
-                             seed=cfg.train.seed)
+        pipe = None
+        if cfg.train.native_loader:
+            # C++ batch pipeline (bit-identical pixels; falls back silently
+            # when the toolchain/OpenCV dev files are missing)
+            from heltondetection_tpu.data.native_loader import (
+                NativeTrainPipeline, native_loader_available)
+            if native_loader_available():
+                pipe = NativeTrainPipeline(
+                    ds, cfg.model.img_size, mosaic_p=cfg.train.mosaic_p,
+                    hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                    max_boxes=cfg.data.max_boxes, seed=cfg.train.seed,
+                    decode_in_pool=cfg.train.decode_in_pool)
+        if pipe is None:
+            pipe = TrainPipeline(ds, cfg.model.img_size,
+                                 mosaic_p=cfg.train.mosaic_p,
+                                 hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                                 max_boxes=cfg.data.max_boxes,
+                                 seed=cfg.train.seed)
         loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers)
     steps_per_epoch = max(loader.steps_per_epoch(), 1)

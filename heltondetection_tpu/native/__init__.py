@@ -61,6 +61,104 @@ def get_cocoeval_lib() -> Optional[ctypes.CDLL]:
         return _LIB
 
 
+# ---------------------------------------------------------------------------
+# native data-loader core (loader_core.cpp): OpenCV/libjpeg pixel pipeline +
+# C++ batch thread pool. See data/native_loader.py for the Python pipeline.
+
+_LDR_LOCK = threading.Lock()
+_LDR_LIB: Optional[ctypes.CDLL] = None
+_LDR_TRIED = False
+
+
+class HdPlan(ctypes.Structure):
+    """Mirror of loader_core.cpp's hd_plan."""
+    _fields_ = [
+        ("src", ctypes.c_void_p * 4),
+        ("sh", ctypes.c_int * 4),
+        ("sw", ctypes.c_int * 4),
+        ("jpeg", ctypes.c_void_p * 4),
+        ("jlen", ctypes.c_longlong * 4),
+        ("n_tiles", ctypes.c_int),
+        ("mode", ctypes.c_int),
+        ("S", ctypes.c_int),
+        ("xc", ctypes.c_int),
+        ("yc", ctypes.c_int),
+        ("do_affine", ctypes.c_int),
+        ("m", ctypes.c_double * 6),
+        ("do_hsv", ctypes.c_int),
+        ("r0", ctypes.c_double),
+        ("r1", ctypes.c_double),
+        ("r2", ctypes.c_double),
+        ("do_flip", ctypes.c_int),
+        ("pad_value", ctypes.c_int),
+        ("out", ctypes.c_void_p),
+        ("status", ctypes.c_int),
+    ]
+
+
+def _build_loader() -> Optional[str]:
+    src = os.path.join(_HERE, "loader_core.cpp")
+    out = os.path.join(_HERE, "libloader.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-I/usr/include/opencv4",
+             src, "-o", out, "-lopencv_core", "-lopencv_imgproc", "-ljpeg",
+             "-pthread"],
+            check=True, capture_output=True, timeout=300)
+        return out
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def get_loader_lib() -> Optional[ctypes.CDLL]:
+    """Build+load the loader core; None when the toolchain or OpenCV/libjpeg
+    dev files are unavailable (callers fall back to the Python pipeline)."""
+    global _LDR_LIB, _LDR_TRIED
+    with _LDR_LOCK:
+        if _LDR_TRIED:
+            return _LDR_LIB
+        _LDR_TRIED = True
+        path = _build_loader()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.hd_pool_create.argtypes = [ctypes.c_int]
+        lib.hd_pool_create.restype = ctypes.c_void_p
+        lib.hd_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.hd_pool_destroy.restype = None
+        lib.hd_pool_run.argtypes = [ctypes.c_void_p, ctypes.POINTER(HdPlan),
+                                    ctypes.c_int]
+        lib.hd_pool_run.restype = None
+        lib.hd_run_plan.argtypes = [ctypes.POINTER(HdPlan)]
+        lib.hd_run_plan.restype = None
+        lib.hd_letterbox.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8,
+                                     ctypes.c_int, ctypes.c_int]
+        lib.hd_letterbox.restype = None
+        lib.hd_hsv_jitter.argtypes = [u8, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_double, ctypes.c_double,
+                                      ctypes.c_double]
+        lib.hd_hsv_jitter.restype = None
+        lib.hd_flip_h.argtypes = [u8, ctypes.c_int, ctypes.c_int]
+        lib.hd_flip_h.restype = None
+        lib.hd_jpeg_dims.argtypes = [u8, ctypes.c_longlong,
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int)]
+        lib.hd_jpeg_dims.restype = ctypes.c_int
+        lib.hd_decode_jpeg.argtypes = [u8, ctypes.c_longlong, u8,
+                                       ctypes.c_longlong,
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_int)]
+        lib.hd_decode_jpeg.restype = ctypes.c_int
+        _LDR_LIB = lib
+        return _LDR_LIB
+
+
 def match_dets_native(iou_thrs: np.ndarray, ious: np.ndarray,
                       g_ig: np.ndarray, g_crowd: np.ndarray):
     """C++ greedy matching; returns (dtm (T,D), dt_ig (T,D)) or None when

@@ -32,7 +32,8 @@ def make_image_with_boxes(rng, h, w, max_objects=4, num_classes=4):
     return img, boxes, classes
 
 
-def build_coco_dataset(root, n_images=8, hw=(96, 128), num_classes=4, seed=0):
+def build_coco_dataset(root, n_images=8, hw=(96, 128), num_classes=4, seed=0,
+                       ext="png"):
     """Write images + COCO json under root; returns (ann_file, img_dir)."""
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(root, "images")
@@ -43,7 +44,7 @@ def build_coco_dataset(root, n_images=8, hw=(96, 128), num_classes=4, seed=0):
         h, w = hw
         img, boxes, classes = make_image_with_boxes(rng, h, w,
                                                     num_classes=num_classes)
-        fname = f"img_{i:04d}.png"
+        fname = f"img_{i:04d}.{ext}"
         cv2.imwrite(os.path.join(img_dir, fname),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         images.append({"id": i + 1, "file_name": fname,
