@@ -256,7 +256,13 @@ def generate_proposals(obj_logits: jnp.ndarray, deltas: jnp.ndarray,
     level-offset (NMS never crosses levels), joint top-k post-NMS.
     """
     anchors = jnp.asarray(anchors)
-    boxes_all, scores_all, lvl_all = [], [], []
+    # NMS never crosses levels (torchvision batched_nms with level ids), so
+    # run it PER LEVEL instead of jointly with level offsets: identical keep
+    # sets, but 4 S-matrices of k² instead of one of (4k)² — 4× less
+    # fixpoint-NMS work (the RPN NMS was ~12 ms of the 91 ms 832² b8 batch).
+    # Survivors ranked past rpn_post_nms_topk within their own level can
+    # never make the joint top-k, so each level is capped there too.
+    boxes_all, scores_all = [], []
     start = 0
     for lvl, cnt in enumerate(level_counts):
         sl = slice(start, start + cnt)
@@ -267,19 +273,20 @@ def generate_proposals(obj_logits: jnp.ndarray, deltas: jnp.ndarray,
         b = clip_boxes(b, img_size, img_size)
         # drop degenerate boxes (torchvision min_size=1e-3)
         ok = ((b[:, 2] - b[:, 0]) > 1e-3) & ((b[:, 3] - b[:, 1]) > 1e-3)
-        s = jnp.where(ok, s, -1e9)
-        boxes_all.append(b)
-        scores_all.append(s)
-        lvl_all.append(jnp.full((k,), lvl, jnp.int32))
+        s = jnp.where(ok, jax.nn.sigmoid(s), 0.0)
+        lb, ls, _, lv = batched_nms(b, s, jnp.zeros((k,), jnp.int32),
+                                    iou_thres=cfg.rpn_nms_thresh,
+                                    score_thres=0.0,
+                                    pre_nms_topk=k,
+                                    max_det=min(k, cfg.rpn_post_nms_topk),
+                                    class_aware=False)
+        boxes_all.append(lb)
+        scores_all.append(ls)
     boxes = jnp.concatenate(boxes_all, 0)
-    scores = jax.nn.sigmoid(jnp.concatenate(scores_all, 0))
-    lvls = jnp.concatenate(lvl_all, 0)
-    pb, ps, _, pv = batched_nms(boxes, scores, lvls,
-                                iou_thres=cfg.rpn_nms_thresh,
-                                score_thres=0.0,
-                                pre_nms_topk=min(boxes.shape[0], 4096),
-                                max_det=cfg.rpn_post_nms_topk,
-                                class_aware=True)
+    scores = jnp.concatenate(scores_all, 0)
+    ps, oi = jax.lax.top_k(scores, cfg.rpn_post_nms_topk)  # joint top-k
+    pb = boxes[oi]
+    pv = ps > 0.0
     return pb, ps, pv
 
 
