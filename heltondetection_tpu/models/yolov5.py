@@ -39,13 +39,16 @@ class _PackedDetect(nn.Module):
 
     Declares the exact {kernel (1,1,cin,A*(5+C)), bias} tree of the
     standard ``nn.Conv(name="detect{i}")`` layer (same lecun_normal/zeros
-    init), but applies it as per-anchor lane-padded matmuls emitting
-    ``(pobj (B,HW,A), [cand_a (B,HW,CP) f32])`` with per-anchor lanes
-    ``[cls₀..cls_{C-1}, tx, ty, tw, th, obj, 0-pad]`` — the assigner/loss
-    then gathers 128-lane-aligned rows instead of relayouting the whole
-    (B,H,W,A*(5+C)) map into 85-wide rows (~25% of the train step at
-    B=32 on a v5e). Checkpoints are interchangeable with the standard
-    head; 1x1 conv ≡ matmul.
+    init), but emits only the dense objectness logits ``pobj (B,HW,A)``
+    (the obj BCE covers every cell) plus the per-anchor box/cls weight
+    blocks ``(ka (cin,CP), ba (CP))`` with lanes ``[cls₀..cls_{C-1}, tx,
+    ty, tw, th, obj, 0-pad]``. The box/cls candidate values are DEFERRED:
+    the loss gathers the (B,HW,cin) feature rows at its ~M·A·O assigned
+    positions and applies the matmul there (row selection commutes with a
+    1×1 conv), so the box/cls branch — forward, weight grads, and the
+    gather-VJP scatter — runs over the candidate set instead of the whole
+    map (the three dense (B,HW,CP) scatters were ~6% of the b128 train
+    step). Checkpoints stay interchangeable with the standard head.
     """
     num_classes: int
     num_anchors: int = 3
@@ -62,14 +65,14 @@ class _PackedDetect(nn.Module):
         cp = packed_cls_width(c)
         obj_cols = jnp.asarray([a * blk + 4 for a in range(a_n)])
         pobj = f2 @ k[:, obj_cols] + bia[obj_cols]           # (B, HW, A)
-        cands = []
+        wblocks = []
         for a in range(a_n):
             idx = (list(range(a * blk + 5, a * blk + blk)) +
                    list(range(a * blk, a * blk + 5)))
             ka = jnp.pad(k[:, jnp.asarray(idx)], ((0, 0), (0, cp - blk)))
             ba = jnp.pad(bia[jnp.asarray(idx)], (0, cp - blk))
-            cands.append(f2 @ ka + ba)                       # (B, HW, CP)
-        return pobj, cands
+            wblocks.append((ka, ba))
+        return pobj, wblocks
 
 
 class YOLOv5(nn.Module):
@@ -144,9 +147,9 @@ class YOLOv5(nn.Module):
             for i, f in enumerate(feats):
                 b, h, w, cin = f.shape
                 f2 = f.astype(jnp.float32).reshape(b, h * w, cin)
-                pobj, cands = _PackedDetect(self.num_classes, a,
-                                            name=f"detect{i}")(f2)
-                outs.append((pobj, cands, (h, w)))
+                pobj, wblocks = _PackedDetect(self.num_classes, a,
+                                              name=f"detect{i}")(f2)
+                outs.append((pobj, f2, wblocks, (h, w)))
             return outs
         no = a * (5 + self.num_classes)
         for i, f in enumerate(feats):

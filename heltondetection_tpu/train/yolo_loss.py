@@ -215,12 +215,16 @@ def yolo_loss_packed(packed_outputs, gt_cxcywh: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """:func:`yolo_loss` on packed TRAIN head outputs — identical math.
 
-    ``packed_outputs``: per level ``(pobj (B,HW,A), [cand_a (B,HW,CP)
-    f32 per anchor], (h,w))`` from ``YOLOv5(packed_train=True)``, cand
-    lanes ``[cls₀..cls_{C-1}, tx, ty, tw, th, obj, pad]``. The candidate
-    gather and the objectness target scatter run on lane-aligned flat
-    rows, avoiding the whole-map (B,H,W,A,5+C) relayout copies the
-    standard layout forces on TPU (~25% of the train step at B=32).
+    ``packed_outputs``: per level ``(pobj (B,HW,A), f2 (B,HW,cin) f32,
+    [(ka (cin,CP), ba (CP)) per anchor], (h,w))`` from
+    ``YOLOv5(packed_train=True)``, lanes ``[cls₀..cls_{C-1}, tx, ty, tw,
+    th, obj, pad]``. The box/cls head matmul is applied AFTER gathering
+    the assigned feature rows (selection commutes with a 1×1 conv): one
+    cin-wide row gather shared by all anchors + one small GEMM, so both
+    the forward candidate maps and their backward gather-VJP scatters
+    shrink from (B,HW,·) to the candidate set. The objectness target
+    scatter still runs on lane-aligned flat rows, avoiding the whole-map
+    (B,H,W,A,5+C) relayout the standard layout forces on TPU.
     """
     nc = cfg.num_classes
     nl = len(packed_outputs)
@@ -229,7 +233,7 @@ def yolo_loss_packed(packed_outputs, gt_cxcywh: jnp.ndarray,
     cn = 0.5 * cfg.label_smoothing
 
     lbox = jnp.zeros(()); lobj = jnp.zeros(()); lcls = jnp.zeros(())
-    for lvl, (pobj, cands, (h, w)) in enumerate(packed_outputs):
+    for lvl, (pobj, f2, wblocks, (h, w)) in enumerate(packed_outputs):
         a_n = len(anchors[lvl])
         t = build_level_targets(gt_cxcywh, gt_cls, gt_mask, lvl, (h, w), cfg,
                                 anchors, strides)
@@ -240,9 +244,11 @@ def yolo_loss_packed(packed_outputs, gt_cxcywh: jnp.ndarray,
         o_n = t["cell_x"].shape[-1]
 
         flat = (t["cell_y"] * w + t["cell_x"]).reshape(b, m * o_n)  # (B,MO)
-        sel = jnp.stack([
-            jnp.take_along_axis(cands[a], flat[..., None], axis=1)
-            .reshape(b, m, o_n, -1) for a in range(a_n)], axis=2)
+        fsel = jnp.take_along_axis(f2, flat[..., None], axis=1)  # (B,MO,cin)
+        kcat = jnp.concatenate([ka for ka, _ in wblocks], axis=1)
+        bcat = jnp.concatenate([ba for _, ba in wblocks], axis=0)
+        cand = fsel @ kcat + bcat                          # (B, MO, A*CP)
+        sel = cand.reshape(b, m, o_n, a_n, -1).transpose(0, 1, 3, 2, 4)
         # sel: (B, M, A, O, CP); lanes [cls..., tx, ty, tw, th, obj, pad]
         pxy = jax.nn.sigmoid(sel[..., nc:nc + 2]) * 2.0 - 0.5
         pwh = (jax.nn.sigmoid(sel[..., nc + 2:nc + 4]) * 2.0) ** 2 \
