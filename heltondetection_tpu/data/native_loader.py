@@ -69,6 +69,27 @@ def _ptr(a: np.ndarray) -> int:
     return a.ctypes.data
 
 
+def _dims(raw: Dict) -> Tuple[int, int]:
+    if "image" in raw:
+        return raw["image"].shape[:2]
+    return raw["height"], raw["width"]
+
+
+def _set_src(p: HdPlan, t: int, raw: Dict, keep: List) -> None:
+    """Point plan tile ``t`` at a decoded RGB buffer or raw JPEG bytes."""
+    if "image" in raw:
+        img = np.ascontiguousarray(raw["image"])
+        keep.append(img)
+        p.src[t] = _ptr(img)
+        p.sh[t], p.sw[t] = img.shape[:2]
+    else:  # encoded: decode in pool
+        buf = raw["jpeg"]
+        keep.append(buf)
+        p.jpeg[t] = _ptr(buf)
+        p.jlen[t] = buf.nbytes
+        p.sh[t], p.sw[t] = raw["height"], raw["width"]
+
+
 class NativeTrainPipeline:
     """Drop-in for augment.TrainPipeline with C++ pixel execution.
 
@@ -133,7 +154,7 @@ class NativeTrainPipeline:
             p.yc = int(rng.uniform(0.5 * s, 1.5 * s))
             p.xc = int(rng.uniform(0.5 * s, 1.5 * s))
             for t, raw in enumerate(raws):
-                self._set_src(p, t, raw, keep)
+                _set_src(p, t, raw, keep)
             boxes, classes = mosaic_boxes(raws, s, p.xc, p.yc)
             if self.affine:
                 rot, sc = affine_params(
@@ -147,8 +168,8 @@ class NativeTrainPipeline:
             raw = self._fetch(idx)
             p.mode = 0
             p.n_tiles = 1
-            self._set_src(p, 0, raw, keep)
-            h, w = self._dims(raw)
+            _set_src(p, 0, raw, keep)
+            h, w = _dims(raw)
             scale = min(s / h, s / w)
             nw, nh = int(round(w * scale)), int(round(h * scale))
             left, top = (s - nw) // 2, (s - nh) // 2
@@ -181,24 +202,6 @@ class NativeTrainPipeline:
             mask[:n] = True
         targets = {"gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
         return p, targets, keep
-
-    def _dims(self, raw: Dict) -> Tuple[int, int]:
-        if "image" in raw:
-            return raw["image"].shape[:2]
-        return raw["height"], raw["width"]
-
-    def _set_src(self, p: HdPlan, t: int, raw: Dict, keep: List) -> None:
-        if "image" in raw:
-            img = np.ascontiguousarray(raw["image"])
-            keep.append(img)
-            p.src[t] = _ptr(img)
-            p.sh[t], p.sw[t] = img.shape[:2]
-        else:  # encoded: decode in pool
-            buf = raw["jpeg"]
-            keep.append(buf)
-            p.jpeg[t] = _ptr(buf)
-            p.jlen[t] = buf.nbytes
-            p.sh[t], p.sw[t] = raw["height"], raw["width"]
 
     def sample(self, idx: int, epoch: int = 0) -> Dict:
         """Single-sample fallback (generic TrainLoader compatibility)."""
@@ -319,3 +322,115 @@ class NativeEvalPipeline:
                     f"native loader plan failed (status {plans[i].status}) "
                     f"for index {idxs[i]}")
         return [{"image": images[i], **metas[i]} for i in range(bsz)]
+
+
+class NativeDeviceAugPipeline:
+    """Host half of the on-device augmentation path through the C++ core
+    (drop-in for augment.DeviceAugPipeline): per sample, letterbox up to 4
+    tiles (self + 3 seeded-random others when the host-side mosaic coin
+    fires) into a (4,S,S,3) uint8 stack; all other randomness (crop offset,
+    flip, color jitter) happens on device (data/device_aug.py). Same rng
+    consumption as the Python version → identical batches."""
+
+    KEYS = ("images4", "boxes4", "cls4", "mask4", "mosaic4")
+
+    def __init__(self, dataset, img_size: int, *, max_boxes: int = 32,
+                 seed: int = 0, mosaic_p: float = 1.0,
+                 decode_in_pool: bool = False):
+        self.ds = dataset
+        self.img_size = img_size
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.mosaic_p = mosaic_p
+        self.decode_in_pool = (decode_in_pool
+                               and hasattr(dataset, "load_encoded"))
+        self._lib = get_loader_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader core unavailable")
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _fetch(self, idx: int) -> Dict:
+        if self.decode_in_pool:
+            return self.ds.load_encoded(idx)
+        return self.ds.load(idx)
+
+    def plan(self, idx: int, epoch: int, out4: np.ndarray):
+        """``out4``: (4,S,S,3) uint8, prefilled with 114 (unused tiles keep
+        the fill). Returns (plans, targets, keepalive)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        s = self.img_size
+        m = self.max_boxes
+        use_mosaic = bool(rng.uniform() < self.mosaic_p)
+        if use_mosaic:
+            ids = [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
+        else:
+            ids = [idx]
+        boxes4 = np.zeros((4, m, 4), np.float32)
+        cls4 = np.zeros((4, m), np.int32)
+        mask4 = np.zeros((4, m), bool)
+        plans: List[HdPlan] = []
+        keep: List = [out4]
+        for t, j in enumerate(ids):
+            raw = self._fetch(j)
+            p = HdPlan()
+            p.mode = 0
+            p.n_tiles = 1
+            p.S = s
+            p.pad_value = 114
+            p.out = _ptr(out4[t])
+            _set_src(p, 0, raw, keep)
+            h, w = _dims(raw)
+            scale = min(s / h, s / w)
+            nw, nh = int(round(w * scale)), int(round(h * scale))
+            left, top = (s - nw) // 2, (s - nh) // 2
+            n = min(len(raw["classes"]), m)
+            if n:
+                b = raw["boxes"][:n] * scale + np.array(
+                    [left, top, left, top], np.float32)
+                boxes4[t, :n] = b
+                cls4[t, :n] = raw["classes"][:n]
+                mask4[t, :n] = True
+            plans.append(p)
+        targets = {"boxes4": boxes4, "cls4": cls4, "mask4": mask4,
+                   "mosaic4": np.asarray(use_mosaic)}
+        return plans, targets, keep
+
+    def sample(self, idx: int, epoch: int = 0) -> Dict:
+        out4 = np.full((4, self.img_size, self.img_size, 3), 114, np.uint8)
+        plans, targets, keep = self.plan(idx, epoch, out4)
+        for p in plans:
+            self._lib.hd_run_plan(ctypes.byref(p))
+            if p.status != 0:
+                raise RuntimeError(f"native loader plan failed (status "
+                                   f"{p.status}) for index {idx}")
+        return {"images4": out4, **targets}
+
+    def sample_batch(self, idxs: Sequence[int], epoch: int,
+                     pool: NativePool) -> Dict[str, np.ndarray]:
+        bsz = len(idxs)
+        s = self.img_size
+        images = np.full((bsz, 4, s, s, 3), 114, np.uint8)
+        all_plans: List[HdPlan] = []
+        keeps: List = []
+        tgt: List[Dict] = []
+        for i, idx in enumerate(idxs):
+            plans, targets, keep = self.plan(int(idx), epoch, images[i])
+            all_plans.extend(plans)
+            keeps.append(keep)
+            tgt.append(targets)
+        arr = (HdPlan * len(all_plans))(*all_plans)
+        pool.run(arr, len(all_plans))
+        for i in range(len(all_plans)):
+            if arr[i].status != 0:
+                raise RuntimeError(
+                    f"native loader plan failed (status {arr[i].status})")
+        return {
+            "images4": images,
+            "boxes4": np.stack([t["boxes4"] for t in tgt]),
+            "cls4": np.stack([t["cls4"] for t in tgt]),
+            "mask4": np.stack([t["mask4"] for t in tgt]),
+            "mosaic4": np.stack([t["mosaic4"] for t in tgt]),
+        }

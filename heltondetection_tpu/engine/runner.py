@@ -194,11 +194,21 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
     device_aug = cfg.train.device_aug and cfg.model.family == "yolov5"
     if device_aug:
-        from heltondetection_tpu.data.augment import DeviceAugPipeline
-        pipe = DeviceAugPipeline(ds, cfg.model.img_size,
-                                 max_boxes=cfg.data.max_boxes,
-                                 seed=cfg.train.seed,
-                                 mosaic_p=cfg.train.mosaic_p)
+        pipe = None
+        if cfg.train.native_loader:
+            from heltondetection_tpu.data.native_loader import (
+                NativeDeviceAugPipeline, native_loader_available)
+            if native_loader_available():
+                pipe = NativeDeviceAugPipeline(
+                    ds, cfg.model.img_size, max_boxes=cfg.data.max_boxes,
+                    seed=cfg.train.seed, mosaic_p=cfg.train.mosaic_p,
+                    decode_in_pool=cfg.train.decode_in_pool)
+        if pipe is None:
+            from heltondetection_tpu.data.augment import DeviceAugPipeline
+            pipe = DeviceAugPipeline(ds, cfg.model.img_size,
+                                     max_boxes=cfg.data.max_boxes,
+                                     seed=cfg.train.seed,
+                                     mosaic_p=cfg.train.mosaic_p)
         loader = TrainLoader(pipe, cfg.train.batch_size,
                              seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers,

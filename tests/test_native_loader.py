@@ -183,3 +183,26 @@ def test_pool_run_is_deterministic_across_thread_counts(coco):
     assert np.array_equal(b1["image"], b8["image"])
     p1.close()
     p8.close()
+
+
+def test_device_aug_pipeline_bit_identical(coco):
+    from heltondetection_tpu.data.augment import DeviceAugPipeline
+    from heltondetection_tpu.data.native_loader import (
+        NativeDeviceAugPipeline, NativePool)
+    py = DeviceAugPipeline(coco, 96, max_boxes=8, seed=4, mosaic_p=0.5)
+    nat = NativeDeviceAugPipeline(coco, 96, max_boxes=8, seed=4,
+                                  mosaic_p=0.5)
+    for epoch in (0, 1):
+        for idx in range(len(coco)):
+            a = py.sample(idx, epoch)
+            b = nat.sample(idx, epoch)
+            for k in ("images4", "boxes4", "cls4", "mask4", "mosaic4"):
+                assert np.array_equal(a[k], b[k]), (epoch, idx, k)
+    # pool batch path == per-sample path
+    pool = NativePool(4)
+    batch = nat.sample_batch(list(range(6)), 1, pool)
+    for i in range(6):
+        one = nat.sample(i, 1)
+        for k in ("images4", "boxes4", "cls4", "mask4", "mosaic4"):
+            assert np.array_equal(batch[k][i], one[k]), (i, k)
+    pool.close()
