@@ -1,0 +1,41 @@
+"""Capture a jax.profiler trace of the FasterRCNN train step.
+
+Usage: python tools/profile_rcnn_train.py [batch] [img]; writes
+/tmp/jaxtrace_rcnn_train. Parse with tools/xplane_top.py. Run from repo root.
+"""
+import glob, sys
+import numpy as np, jax, jax.numpy as jnp
+from heltondetection_tpu.models.faster_rcnn import (FasterRCNN, RCNNConfig,
+                                                    init_faster_rcnn)
+from heltondetection_tpu.train.schedule import make_optimizer
+from heltondetection_tpu.train.trainer import TrainState, make_rcnn_train_step
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 832
+M = 64
+cfg = RCNNConfig(num_classes=80, img_size=S)
+model = FasterRCNN(cfg, dtype=jnp.bfloat16)
+v = init_faster_rcnn(model, jax.random.PRNGKey(0), S)
+tx = make_optimizer(1e-3, total_steps=1000, warmup_steps=10)
+state = TrainState(v["params"], v["batch_stats"], tx.init(v["params"]),
+                   jnp.zeros((), jnp.int32), v["params"])
+step = jax.jit(make_rcnn_train_step(model, tx, cfg))
+rng = np.random.default_rng(0)
+x1 = rng.uniform(0, S - 80, (B, M, 2)); wh = rng.uniform(16, 80, (B, M, 2))
+batch = {
+    "image": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+    "gt_boxes_xyxy": jnp.asarray(
+        np.concatenate([x1, x1 + wh], -1).astype(np.float32)),
+    "gt_cls": jnp.asarray(rng.integers(0, 80, (B, M)).astype(np.int32)),
+    "gt_mask": jnp.asarray(rng.uniform(0, 1, (B, M)) < 0.5),
+}
+key = jax.random.PRNGKey(1)
+for _ in range(4):
+    state, m = step(state, batch, key)
+float(m["total"])
+jax.profiler.start_trace("/tmp/jaxtrace_rcnn_train")
+for _ in range(3):
+    state, m = step(state, batch, key)
+float(m["total"])
+jax.profiler.stop_trace()
+print(glob.glob("/tmp/jaxtrace_rcnn_train/**/*.xplane.pb", recursive=True))
