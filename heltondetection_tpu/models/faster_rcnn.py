@@ -294,12 +294,19 @@ def generate_proposals(obj_logits: jnp.ndarray, deltas: jnp.ndarray,
 # training-time assignment + sampling (pure functions, per image)
 # ---------------------------------------------------------------------------
 
-def _rank_desc(pri: jnp.ndarray) -> jnp.ndarray:
-    """rank[i] = position of i when sorting pri descending (O(n log n))."""
-    n = pri.shape[0]
-    order = jnp.argsort(-pri)
-    return jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
+def _top_quota_mask(pri: jnp.ndarray, mask: jnp.ndarray, quota,
+                    max_quota: int) -> jnp.ndarray:
+    """Select the ``quota`` highest-priority entries of ``mask`` (quota may
+    be a dynamic scalar ≤ max_quota) WITHOUT materializing full ranks: the
+    quota-th top value is the selection threshold. Priorities are iid
+    uniforms, so ties have measure zero and the selected set equals the
+    rank-based formulation — but a (k)-top-k replaces the full argsort +
+    (n)-scatter rank materialization (~16 ms/step of the RCNN 832² b8
+    train step across the vmapped RPN sampling)."""
+    kth = jax.lax.top_k(pri, max_quota)[0][
+        jnp.clip(quota - 1, 0, max_quota - 1)]
+    thr = jnp.where(quota > 0, kth, jnp.inf)
+    return mask & (pri >= thr)
 
 
 def _sample_balanced(fg: jnp.ndarray, bg: jnp.ndarray, batch: int,
@@ -317,10 +324,10 @@ def _sample_balanced(fg: jnp.ndarray, bg: jnp.ndarray, batch: int,
     fg_pri = jnp.where(fg, jax.random.uniform(kf, (n,)), -1.0)
     bg_pri = jnp.where(bg, jax.random.uniform(kb, (n,)), -1.0)
     max_fg = int(batch * pos_frac)
-    sel_fg = fg & (_rank_desc(fg_pri) < max_fg)
+    sel_fg = _top_quota_mask(fg_pri, fg, jnp.asarray(max_fg), max_fg)
     n_fg = jnp.sum(sel_fg)
     bg_quota = batch - n_fg
-    sel_bg = bg & (_rank_desc(bg_pri) < bg_quota)
+    sel_bg = _top_quota_mask(bg_pri, bg, bg_quota, batch)
     # gather the selected rows into a fixed (batch,) index set
     pri = sel_fg * 2.0 + sel_bg * 1.0 + jax.random.uniform(kg, (n,)) * 1e-3
     _, idx = jax.lax.top_k(pri, batch)

@@ -113,6 +113,36 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, *, out_size: int = 7,
     return vals.max(axis=(2, 4))
 
 
+def _quad_flat(feats, c: int) -> jnp.ndarray:
+    """Quad-shifted flattened pyramid: each level concatenated channel-wise
+    with its x-, y-, and xy-rolled copies (see multilevel_roi_align)."""
+    def quad(f):
+        fx = jnp.roll(f, -1, axis=1)
+        fy = jnp.roll(f, -1, axis=0)
+        fxy = jnp.roll(fx, -1, axis=0)
+        return jnp.concatenate([f, fx, fy, fxy], axis=-1)
+    return jnp.concatenate([quad(f).reshape(-1, 4 * c) for f in feats],
+                           axis=0)
+
+
+def _mlra_weighted_gather(feats, idx, w00, w01, w10, w11, wrow):
+    """Weighted 4-tap quad-row gather; plain autodiff. A hand-written VJP
+    scattering each tap directly into the unshifted pyramid (4 scatters of
+    c-wide rows at idx + {0, 1, wrow, wrow+1}) was measured SLOWER (54 ms
+    vs 34 ms of the FasterRCNN 832² b8 train step): TPU scatter-add cost is
+    row-count-bound, so quadrupling the update rows loses more than the 4×
+    narrower rows save — the same asymmetry that motivates the quad-shift
+    layout forward. Autodiff's backward (one wide (R,4c) scatter + the
+    rolls' adjoint) keeps the row-efficient shape. ``wrow`` (per-row level
+    width) is unused here but kept so the two formulations stay drop-in
+    interchangeable for future re-measurement."""
+    c = feats[0].shape[-1]
+    flat = _quad_flat(feats, c)
+    rows = flat[idx]                                       # (R, 4c)
+    return (rows[:, 0 * c:1 * c] * w00 + rows[:, 1 * c:2 * c] * w01 +
+            rows[:, 2 * c:3 * c] * w10 + rows[:, 3 * c:4 * c] * w11)
+
+
 def _roi_levels(rois: jnp.ndarray, num_levels: int, canonical_level: int,
                 canonical_size: float) -> jnp.ndarray:
     """torchvision MultiScaleRoIAlign level map:
@@ -154,17 +184,7 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
     target = _roi_levels(rois, n_lvl, canonical_level, canonical_size)
 
     c = feats[0].shape[-1]
-    if method == "align":
-        # quad-shift: [F, F←x, F←y, F←xy] on channels; taps (y0,x0),
-        # (y0,x0+1), (y1,x0), (y1,x1) all live in row (y0,x0)
-        def quad(f):
-            fx = jnp.roll(f, -1, axis=1)
-            fy = jnp.roll(f, -1, axis=0)
-            fxy = jnp.roll(fx, -1, axis=0)
-            return jnp.concatenate([f, fx, fy, fxy], axis=-1)
-        flat = jnp.concatenate([quad(f).reshape(-1, 4 * c) for f in feats],
-                               axis=0)
-    else:
+    if method != "align":
         flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
     ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
@@ -234,8 +254,7 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         # output — measured 11.3 ms of the 100 ms FasterRCNN 832² b8 batch,
         # plus a slower 6-D multiply-reduce.
         r = n * os_ * os_
-        rows = flat[idx.reshape(r)]                        # (R, 4c)
-        dt = rows.dtype
+        dt = feats[0].dtype
         # weight/reduce in the feature dtype (bf16 on TPU): the tap tensor
         # is the big operand, and halving its elementwise traffic matters
         # more than the ≤2⁻⁸ relative weight rounding (pooled features are
@@ -244,8 +263,9 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         w01 = ((1 - ly) * lx * valid).reshape(r, 1).astype(dt)
         w10 = (ly * (1 - lx) * valid).reshape(r, 1).astype(dt)
         w11 = (ly * lx * valid).reshape(r, 1).astype(dt)
-        out = (rows[:, 0 * c:1 * c] * w00 + rows[:, 1 * c:2 * c] * w01 +
-               rows[:, 2 * c:3 * c] * w10 + rows[:, 3 * c:4 * c] * w11)
+        wrow = jnp.broadcast_to(wi, (n, os_, os_)).reshape(r)
+        out = _mlra_weighted_gather(tuple(feats), idx.reshape(r),
+                                    w00, w01, w10, w11, wrow)
         out = out.reshape(n, out_size, s, out_size, s, c)  # row-dim split
         return out.mean(axis=(2, 4)).astype(jnp.float32)
 

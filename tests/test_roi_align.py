@@ -87,3 +87,45 @@ def test_jit_and_grad():
     g = jax.grad(lambda ft: roi_align(ft, rois).sum())(feat)
     assert np.isfinite(float(f(feat)))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_multilevel_roi_align_custom_vjp_matches_autodiff():
+    """The direct-scatter backward (ops/roi_align._mlra_weighted_gather)
+    must match autodiff of the naive compute-every-level reference."""
+    import jax
+    import jax.numpy as jnp
+    from heltondetection_tpu.ops.roi_align import (_roi_levels,
+                                                   multilevel_roi_align,
+                                                   roi_align)
+    rng = np.random.default_rng(3)
+    strides = (4, 8, 16)
+    feats = [jnp.asarray(rng.normal(
+        size=(64 // (2 ** l), 80 // (2 ** l), 8)).astype(np.float32))
+        for l in range(3)]
+    # spread roi sizes so every level gets assignments
+    n = 18
+    x1 = rng.uniform(0, 100, n); y1 = rng.uniform(0, 80, n)
+    w = rng.uniform(8, 250, n); h = rng.uniform(8, 200, n)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], 1)
+                       .astype(np.float32))
+
+    def f(fs):
+        return (multilevel_roi_align(list(fs), rois, strides,
+                                     out_size=7) ** 2).sum()
+
+    def f_ref(fs):
+        tgt = _roi_levels(rois, 3, 2, 224.0)
+        outs = jnp.stack([roi_align(fs[l], rois, out_size=7,
+                                    spatial_scale=1.0 / strides[l])
+                          for l in range(3)])
+        return (outs[tgt, jnp.arange(n)] ** 2).sum()
+
+    np.testing.assert_allclose(float(f(tuple(feats))),
+                               float(f_ref(tuple(feats))), rtol=1e-5)
+    g1 = jax.grad(f)(tuple(feats))
+    g2 = jax.grad(f_ref)(tuple(feats))
+    nonzero = 0
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        nonzero += int(np.abs(np.asarray(b)).max() > 0)
+    assert nonzero >= 2  # the roi size spread must exercise >1 level
