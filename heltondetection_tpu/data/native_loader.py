@@ -69,6 +69,18 @@ def _ptr(a: np.ndarray) -> int:
     return a.ctypes.data
 
 
+def _parallel_fetch(fetch, ids) -> Dict[int, Dict]:
+    """Fetch raw samples concurrently (cv2 decode releases the GIL); used
+    for COLD sources so the serial plan-building phase only touches RAM.
+    Purely an optimization: plan() treats the result as a fallback cache."""
+    ids = list(ids)
+    if len(ids) <= 1:
+        return {j: fetch(j) for j in ids}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(16, len(ids))) as ex:
+        return dict(zip(ids, ex.map(fetch, ids)))
+
+
 def _dims(raw: Dict) -> Tuple[int, int]:
     if "image" in raw:
         return raw["image"].shape[:2]
@@ -124,13 +136,30 @@ class NativeTrainPipeline:
     def __len__(self):
         return len(self.ds)
 
-    def _fetch(self, idx: int) -> Dict:
-        """Raw sample: decoded image (default) or JPEG bytes + dims."""
+    def _fetch(self, idx: int,
+               cache: Optional[Dict[int, Dict]] = None) -> Dict:
+        """Raw sample: decoded image (default) or JPEG bytes + dims.
+        ``cache`` is a best-effort prefetch dict (see sample_batch) —
+        misses just fall through to a direct load."""
+        if cache is not None and idx in cache:
+            return cache[idx]
         if self.decode_in_pool:
             return self.ds.load_encoded(idx)
         return self.ds.load(idx)
 
-    def plan(self, idx: int, epoch: int, out: np.ndarray
+    def sample_ids(self, idx: int, epoch: int) -> List[int]:
+        """Dataset indices ``plan(idx, epoch)`` will fetch — replays only
+        the draw PREFIX of plan() (mosaic coin + 3 tile picks), letting
+        sample_batch prefetch sources in parallel. Must stay in lockstep
+        with plan()'s first draws."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        if rng.uniform() < self.mosaic_p and len(self.ds) >= 4:
+            return [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
+        return [idx]
+
+    def plan(self, idx: int, epoch: int, out: np.ndarray,
+             cache: Optional[Dict[int, Dict]] = None
              ) -> Tuple[HdPlan, Dict[str, Any], List]:
         """Returns (plan, targets, keepalive). ``out`` is the (S,S,3) uint8
         slot the C++ side renders into; ``targets`` are the fixed-shape gt
@@ -147,7 +176,8 @@ class NativeTrainPipeline:
         use_mosaic = rng.uniform() < self.mosaic_p and len(self.ds) >= 4
         if use_mosaic:
             others = rng.integers(0, len(self.ds), 3)
-            raws = [self._fetch(idx)] + [self._fetch(int(j)) for j in others]
+            raws = [self._fetch(idx, cache)] + [self._fetch(int(j), cache)
+                                                for j in others]
             p.mode = 1
             p.n_tiles = 4
             # mosaic4's draws, same order
@@ -165,7 +195,7 @@ class NativeTrainPipeline:
                 ctypes.memmove(p.m, rot64.ctypes.data, 6 * 8)
                 boxes, classes = affine_boxes(boxes, classes, rot, sc, s, s)
         else:
-            raw = self._fetch(idx)
+            raw = self._fetch(idx, cache)
             p.mode = 0
             p.n_tiles = 1
             _set_src(p, 0, raw, keep)
@@ -222,8 +252,11 @@ class NativeTrainPipeline:
         plans = (HdPlan * bsz)()
         keeps: List = []
         tgt: List[Dict] = []
+        cache = _parallel_fetch(
+            self._fetch, {j for idx in idxs
+                          for j in self.sample_ids(int(idx), epoch)})
         for i, idx in enumerate(idxs):
-            p, targets, keep = self.plan(int(idx), epoch, images[i])
+            p, targets, keep = self.plan(int(idx), epoch, images[i], cache)
             plans[i] = p
             keeps.append(keep)
             tgt.append(targets)
@@ -258,13 +291,17 @@ class NativeEvalPipeline:
     def __len__(self):
         return len(self.ds)
 
-    def _fetch(self, idx: int) -> Dict:
+    def _fetch(self, idx: int,
+               cache: Optional[Dict[int, Dict]] = None) -> Dict:
+        if cache is not None and idx in cache:
+            return cache[idx]
         if self.decode_in_pool:
             return self.ds.load_encoded(idx)
         return self.ds.load(idx)
 
-    def plan(self, idx: int, out: np.ndarray):
-        raw = self._fetch(idx)
+    def plan(self, idx: int, out: np.ndarray,
+             cache: Optional[Dict[int, Dict]] = None):
+        raw = self._fetch(idx, cache)
         p = HdPlan()
         p.mode = 0
         p.n_tiles = 1
@@ -310,8 +347,9 @@ class NativeEvalPipeline:
         plans = (HdPlan * bsz)()
         keeps: List = []
         metas: List[Dict] = []
+        cache = _parallel_fetch(self._fetch, {int(i) for i in idxs})
         for i, idx in enumerate(idxs):
-            p, meta, keep = self.plan(int(idx), images[i])
+            p, meta, keep = self.plan(int(idx), images[i], cache)
             plans[i] = p
             keeps.append(keep)
             metas.append(meta)
@@ -351,12 +389,25 @@ class NativeDeviceAugPipeline:
     def __len__(self):
         return len(self.ds)
 
-    def _fetch(self, idx: int) -> Dict:
+    def _fetch(self, idx: int,
+               cache: Optional[Dict[int, Dict]] = None) -> Dict:
+        if cache is not None and idx in cache:
+            return cache[idx]
         if self.decode_in_pool:
             return self.ds.load_encoded(idx)
         return self.ds.load(idx)
 
-    def plan(self, idx: int, epoch: int, out4: np.ndarray):
+    def sample_ids(self, idx: int, epoch: int) -> List[int]:
+        """Draw-prefix replay of plan() for parallel prefetch (see
+        NativeTrainPipeline.sample_ids)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        if rng.uniform() < self.mosaic_p:
+            return [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
+        return [idx]
+
+    def plan(self, idx: int, epoch: int, out4: np.ndarray,
+             cache: Optional[Dict[int, Dict]] = None):
         """``out4``: (4,S,S,3) uint8, prefilled with 114 (unused tiles keep
         the fill). Returns (plans, targets, keepalive)."""
         rng = np.random.default_rng(
@@ -374,7 +425,7 @@ class NativeDeviceAugPipeline:
         plans: List[HdPlan] = []
         keep: List = [out4]
         for t, j in enumerate(ids):
-            raw = self._fetch(j)
+            raw = self._fetch(j, cache)
             p = HdPlan()
             p.mode = 0
             p.n_tiles = 1
@@ -416,8 +467,12 @@ class NativeDeviceAugPipeline:
         all_plans: List[HdPlan] = []
         keeps: List = []
         tgt: List[Dict] = []
+        cache = _parallel_fetch(
+            self._fetch, {j for idx in idxs
+                          for j in self.sample_ids(int(idx), epoch)})
         for i, idx in enumerate(idxs):
-            plans, targets, keep = self.plan(int(idx), epoch, images[i])
+            plans, targets, keep = self.plan(int(idx), epoch, images[i],
+                                             cache)
             all_plans.extend(plans)
             keeps.append(keep)
             tgt.append(targets)
