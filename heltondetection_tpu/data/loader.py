@@ -28,27 +28,49 @@ def device_prep(images_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _prefetched(it: Iterator, depth: int) -> Iterator:
-    """Run ``it`` on a background thread, keeping ``depth`` items ready."""
+    """Run ``it`` on a background thread, keeping ``depth`` items ready.
+
+    Abandoning the consumer (break / GC / exception) closes this generator,
+    which signals the producer to stop and JOINS it — otherwise an orphaned
+    producer would keep driving the shared native pool while the next
+    epoch's producer starts (hd_pool_run is not reentrant)."""
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     _END = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer stuck on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=30.0)
 
 
 def _stack(samples: List[Dict], keys) -> Dict[str, Any]:

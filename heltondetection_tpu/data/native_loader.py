@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,7 +42,8 @@ def native_loader_available() -> bool:
 
 
 class NativePool:
-    """Persistent C++ worker pool; one per loader."""
+    """Persistent C++ worker pool; one per loader. ``run`` is serialized
+    with a lock — hd_pool_run is not reentrant."""
 
     def __init__(self, num_threads: Optional[int] = None):
         self._lib = get_loader_lib()
@@ -49,9 +51,11 @@ class NativePool:
             raise RuntimeError("native loader core unavailable")
         n = num_threads or min(32, (os.cpu_count() or 1) * 2)
         self._handle = self._lib.hd_pool_create(int(n))
+        self._run_lock = threading.Lock()
 
     def run(self, plans: "ctypes.Array[HdPlan]", n: int) -> None:
-        self._lib.hd_pool_run(self._handle, plans, n)
+        with self._run_lock:
+            self._lib.hd_pool_run(self._handle, plans, n)
 
     def close(self) -> None:
         if getattr(self, "_handle", None):
@@ -69,16 +73,63 @@ def _ptr(a: np.ndarray) -> int:
     return a.ctypes.data
 
 
-def _parallel_fetch(fetch, ids) -> Dict[int, Dict]:
-    """Fetch raw samples concurrently (cv2 decode releases the GIL); used
-    for COLD sources so the serial plan-building phase only touches RAM.
-    Purely an optimization: plan() treats the result as a fallback cache."""
-    ids = list(ids)
-    if len(ids) <= 1:
-        return {j: fetch(j) for j in ids}
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(min(16, len(ids))) as ex:
-        return dict(zip(ids, ex.map(fetch, ids)))
+class _NativePipelineBase:
+    """Shared plumbing for the native pipelines: loader-lib handle,
+    decode-mode resolution, cache-aware raw-sample fetch, and a PERSISTENT
+    prefetch executor (a fresh ThreadPoolExecutor per batch would churn
+    ~16 OS threads on the loader hot path)."""
+
+    def _init_native(self, dataset, decode_in_pool: bool) -> None:
+        self.ds = dataset
+        self.decode_in_pool = (decode_in_pool
+                               and hasattr(dataset, "load_encoded"))
+        self._lib = get_loader_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader core unavailable")
+        self._fetch_pool = None
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _fetch(self, idx: int,
+               cache: Optional[Dict[int, Dict]] = None) -> Dict:
+        """Raw sample: decoded image (default) or JPEG bytes + dims.
+        ``cache`` is a best-effort prefetch dict — misses fall through to a
+        direct load."""
+        if cache is not None and idx in cache:
+            return cache[idx]
+        if self.decode_in_pool:
+            return self.ds.load_encoded(idx)
+        return self.ds.load(idx)
+
+    def _prefetch(self, ids) -> Dict[int, Dict]:
+        """Fetch raw samples concurrently (cv2 decode releases the GIL) so
+        the serial plan-building phase only touches RAM. Purely an
+        optimization: plan() treats the result as a fallback cache."""
+        ids = list(ids)
+        if len(ids) <= 1:
+            return {j: self._fetch(j) for j in ids}
+        if self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._fetch_pool = ThreadPoolExecutor(16)
+        return dict(zip(ids, self._fetch_pool.map(self._fetch, ids)))
+
+
+
+_PLAN_ERRORS = {
+    1: "JPEG decode failed",
+    2: "no pixel source (neither decoded image nor JPEG bytes)",
+    3: "native exception (e.g. degenerate image dims in cv::resize)",
+    4: "decoded JPEG dims disagree with annotation metadata (mis-annotated "
+       "or EXIF-rotated file; use the cv2 decode path for EXIF sources)",
+}
+
+
+def _check_status(status: int, idx) -> None:
+    if status != 0:
+        reason = _PLAN_ERRORS.get(status, "unknown error")
+        raise RuntimeError(f"native loader plan failed for index {idx}: "
+                           f"{reason} (status {status})")
 
 
 def _dims(raw: Dict) -> Tuple[int, int]:
@@ -102,7 +153,7 @@ def _set_src(p: HdPlan, t: int, raw: Dict, keep: List) -> None:
         p.sh[t], p.sw[t] = raw["height"], raw["width"]
 
 
-class NativeTrainPipeline:
+class NativeTrainPipeline(_NativePipelineBase):
     """Drop-in for augment.TrainPipeline with C++ pixel execution.
 
     ``plan(idx, epoch, out)`` draws the sample's random parameters, computes
@@ -116,7 +167,6 @@ class NativeTrainPipeline:
                  seed: int = 0, affine: bool = True,
                  affine_scale: float = 0.5, affine_translate: float = 0.1,
                  degrees: float = 0.0, decode_in_pool: bool = False):
-        self.ds = dataset
         self.img_size = img_size
         self.mosaic_p = mosaic_p
         self.hsv = hsv
@@ -127,25 +177,7 @@ class NativeTrainPipeline:
         self.affine_scale = affine_scale
         self.affine_translate = affine_translate
         self.degrees = degrees
-        self.decode_in_pool = (decode_in_pool
-                               and hasattr(dataset, "load_encoded"))
-        self._lib = get_loader_lib()
-        if self._lib is None:
-            raise RuntimeError("native loader core unavailable")
-
-    def __len__(self):
-        return len(self.ds)
-
-    def _fetch(self, idx: int,
-               cache: Optional[Dict[int, Dict]] = None) -> Dict:
-        """Raw sample: decoded image (default) or JPEG bytes + dims.
-        ``cache`` is a best-effort prefetch dict (see sample_batch) —
-        misses just fall through to a direct load."""
-        if cache is not None and idx in cache:
-            return cache[idx]
-        if self.decode_in_pool:
-            return self.ds.load_encoded(idx)
-        return self.ds.load(idx)
+        self._init_native(dataset, decode_in_pool)
 
     def sample_ids(self, idx: int, epoch: int) -> List[int]:
         """Dataset indices ``plan(idx, epoch)`` will fetch — replays only
@@ -238,9 +270,7 @@ class NativeTrainPipeline:
         out = np.empty((self.img_size, self.img_size, 3), np.uint8)
         p, targets, keep = self.plan(idx, epoch, out)
         self._lib.hd_run_plan(ctypes.byref(p))
-        if p.status != 0:
-            raise RuntimeError(f"native loader plan failed (status "
-                               f"{p.status}) for index {idx}")
+        _check_status(p.status, idx)
         return {"image": out, **targets}
 
     def sample_batch(self, idxs: Sequence[int], epoch: int,
@@ -252,9 +282,8 @@ class NativeTrainPipeline:
         plans = (HdPlan * bsz)()
         keeps: List = []
         tgt: List[Dict] = []
-        cache = _parallel_fetch(
-            self._fetch, {j for idx in idxs
-                          for j in self.sample_ids(int(idx), epoch)})
+        cache = self._prefetch({j for idx in idxs
+                                for j in self.sample_ids(int(idx), epoch)})
         for i, idx in enumerate(idxs):
             p, targets, keep = self.plan(int(idx), epoch, images[i], cache)
             plans[i] = p
@@ -262,10 +291,7 @@ class NativeTrainPipeline:
             tgt.append(targets)
         pool.run(plans, bsz)
         for i in range(bsz):
-            if plans[i].status != 0:
-                raise RuntimeError(
-                    f"native loader plan failed (status {plans[i].status}) "
-                    f"for index {idxs[i]}")
+            _check_status(plans[i].status, idxs[i])
         return {
             "image": images,
             "gt_boxes": np.stack([t["gt_boxes"] for t in tgt]),
@@ -274,30 +300,14 @@ class NativeTrainPipeline:
         }
 
 
-class NativeEvalPipeline:
+class NativeEvalPipeline(_NativePipelineBase):
     """Letterbox-only eval preprocessing through the C++ core (drop-in for
     augment.EvalPipeline, plus ``sample_batch``)."""
 
     def __init__(self, dataset, img_size: int, *,
                  decode_in_pool: bool = False):
-        self.ds = dataset
         self.img_size = img_size
-        self.decode_in_pool = (decode_in_pool
-                               and hasattr(dataset, "load_encoded"))
-        self._lib = get_loader_lib()
-        if self._lib is None:
-            raise RuntimeError("native loader core unavailable")
-
-    def __len__(self):
-        return len(self.ds)
-
-    def _fetch(self, idx: int,
-               cache: Optional[Dict[int, Dict]] = None) -> Dict:
-        if cache is not None and idx in cache:
-            return cache[idx]
-        if self.decode_in_pool:
-            return self.ds.load_encoded(idx)
-        return self.ds.load(idx)
+        self._init_native(dataset, decode_in_pool)
 
     def plan(self, idx: int, out: np.ndarray,
              cache: Optional[Dict[int, Dict]] = None):
@@ -334,9 +344,7 @@ class NativeEvalPipeline:
         out = np.empty((self.img_size, self.img_size, 3), np.uint8)
         p, meta, keep = self.plan(idx, out)
         self._lib.hd_run_plan(ctypes.byref(p))
-        if p.status != 0:
-            raise RuntimeError(f"native loader plan failed (status "
-                               f"{p.status}) for index {idx}")
+        _check_status(p.status, idx)
         return {"image": out, **meta}
 
     def sample_batch(self, idxs: Sequence[int], pool: NativePool
@@ -347,7 +355,7 @@ class NativeEvalPipeline:
         plans = (HdPlan * bsz)()
         keeps: List = []
         metas: List[Dict] = []
-        cache = _parallel_fetch(self._fetch, {int(i) for i in idxs})
+        cache = self._prefetch({int(i) for i in idxs})
         for i, idx in enumerate(idxs):
             p, meta, keep = self.plan(int(idx), images[i], cache)
             plans[i] = p
@@ -355,14 +363,11 @@ class NativeEvalPipeline:
             metas.append(meta)
         pool.run(plans, bsz)
         for i in range(bsz):
-            if plans[i].status != 0:
-                raise RuntimeError(
-                    f"native loader plan failed (status {plans[i].status}) "
-                    f"for index {idxs[i]}")
+            _check_status(plans[i].status, idxs[i])
         return [{"image": images[i], **metas[i]} for i in range(bsz)]
 
 
-class NativeDeviceAugPipeline:
+class NativeDeviceAugPipeline(_NativePipelineBase):
     """Host half of the on-device augmentation path through the C++ core
     (drop-in for augment.DeviceAugPipeline): per sample, letterbox up to 4
     tiles (self + 3 seeded-random others when the host-side mosaic coin
@@ -375,27 +380,11 @@ class NativeDeviceAugPipeline:
     def __init__(self, dataset, img_size: int, *, max_boxes: int = 32,
                  seed: int = 0, mosaic_p: float = 1.0,
                  decode_in_pool: bool = False):
-        self.ds = dataset
         self.img_size = img_size
         self.max_boxes = max_boxes
         self.seed = seed
         self.mosaic_p = mosaic_p
-        self.decode_in_pool = (decode_in_pool
-                               and hasattr(dataset, "load_encoded"))
-        self._lib = get_loader_lib()
-        if self._lib is None:
-            raise RuntimeError("native loader core unavailable")
-
-    def __len__(self):
-        return len(self.ds)
-
-    def _fetch(self, idx: int,
-               cache: Optional[Dict[int, Dict]] = None) -> Dict:
-        if cache is not None and idx in cache:
-            return cache[idx]
-        if self.decode_in_pool:
-            return self.ds.load_encoded(idx)
-        return self.ds.load(idx)
+        self._init_native(dataset, decode_in_pool)
 
     def sample_ids(self, idx: int, epoch: int) -> List[int]:
         """Draw-prefix replay of plan() for parallel prefetch (see
@@ -454,9 +443,7 @@ class NativeDeviceAugPipeline:
         plans, targets, keep = self.plan(idx, epoch, out4)
         for p in plans:
             self._lib.hd_run_plan(ctypes.byref(p))
-            if p.status != 0:
-                raise RuntimeError(f"native loader plan failed (status "
-                                   f"{p.status}) for index {idx}")
+            _check_status(p.status, idx)
         return {"images4": out4, **targets}
 
     def sample_batch(self, idxs: Sequence[int], epoch: int,
@@ -467,9 +454,8 @@ class NativeDeviceAugPipeline:
         all_plans: List[HdPlan] = []
         keeps: List = []
         tgt: List[Dict] = []
-        cache = _parallel_fetch(
-            self._fetch, {j for idx in idxs
-                          for j in self.sample_ids(int(idx), epoch)})
+        cache = self._prefetch({j for idx in idxs
+                                for j in self.sample_ids(int(idx), epoch)})
         for i, idx in enumerate(idxs):
             plans, targets, keep = self.plan(int(idx), epoch, images[i],
                                              cache)
@@ -479,9 +465,7 @@ class NativeDeviceAugPipeline:
         arr = (HdPlan * len(all_plans))(*all_plans)
         pool.run(arr, len(all_plans))
         for i in range(len(all_plans)):
-            if arr[i].status != 0:
-                raise RuntimeError(
-                    f"native loader plan failed (status {arr[i].status})")
+            _check_status(arr[i].status, "<device-aug batch>")
         return {
             "images4": images,
             "boxes4": np.stack([t["boxes4"] for t in tgt]),

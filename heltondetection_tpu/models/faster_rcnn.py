@@ -284,8 +284,13 @@ def generate_proposals(obj_logits: jnp.ndarray, deltas: jnp.ndarray,
         scores_all.append(ls)
     boxes = jnp.concatenate(boxes_all, 0)
     scores = jnp.concatenate(scores_all, 0)
-    ps, oi = jax.lax.top_k(scores, cfg.rpn_post_nms_topk)  # joint top-k
+    k = min(cfg.rpn_post_nms_topk, scores.shape[0])
+    ps, oi = jax.lax.top_k(scores, k)                      # joint top-k
     pb = boxes[oi]
+    if k < cfg.rpn_post_nms_topk:   # tiny configs: fewer candidates than P
+        pad = cfg.rpn_post_nms_topk - k
+        pb = jnp.pad(pb, ((0, pad), (0, 0)))
+        ps = jnp.pad(ps, (0, pad))
     pv = ps > 0.0
     return pb, ps, pv
 
@@ -303,6 +308,8 @@ def _top_quota_mask(pri: jnp.ndarray, mask: jnp.ndarray, quota,
     rank-based formulation — but a (k)-top-k replaces the full argsort +
     (n)-scatter rank materialization (~16 ms/step of the RCNN 832² b8
     train step across the vmapped RPN sampling)."""
+    if max_quota <= 0:  # e.g. pos_frac = 0: statically select nothing
+        return jnp.zeros_like(mask)
     kth = jax.lax.top_k(pri, max_quota)[0][
         jnp.clip(quota - 1, 0, max_quota - 1)]
     thr = jnp.where(quota > 0, kth, jnp.inf)

@@ -21,10 +21,19 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _src_tag(path: str) -> str:
+    """Content hash of the source: the build artifact is named by it, so a
+    stale binary can never shadow changed source (mtimes are not preserved
+    by git checkouts)."""
+    import hashlib
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
 def _build() -> Optional[str]:
     src = os.path.join(_HERE, "cocoeval_core.cpp")
-    out = os.path.join(_HERE, "libcocoeval.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    out = os.path.join(_HERE, f"libcocoeval-{_src_tag(src)}.so")
+    if os.path.exists(out):
         return out
     try:
         subprocess.run(
@@ -98,8 +107,8 @@ class HdPlan(ctypes.Structure):
 
 def _build_loader() -> Optional[str]:
     src = os.path.join(_HERE, "loader_core.cpp")
-    out = os.path.join(_HERE, "libloader.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    out = os.path.join(_HERE, f"libloader-{_src_tag(src)}.so")
+    if os.path.exists(out):
         return out
     try:
         subprocess.run(

@@ -106,13 +106,19 @@ int decode_jpeg(const uint8_t* data, size_t len, uint8_t* out, size_t cap,
 // ---------------------------------------------------------------------------
 // pixel ops — each mirrors one augment.py call exactly
 
+// Python round() semantics (half-to-even). std::lround rounds half away
+// from zero, which disagrees with the numpy/Python box math whenever
+// w*scale lands exactly on .5 — a 1-px tile size/offset skew vs the labels.
+// nearbyint under the default FE_TONEAREST mode is round-half-to-even.
+static inline int py_round(double x) { return (int)std::nearbyint(x); }
+
 // letterbox_np: aspect-preserving cv2.resize + centered 114-pad
 void letterbox(const cv::Mat& src, cv::Mat& dst /*S×S×3, prealloc*/,
                uint8_t pad) {
   const int S = dst.rows;
   double scale = std::min((double)S / src.rows, (double)S / src.cols);
-  int nw = (int)std::lround(src.cols * scale);
-  int nh = (int)std::lround(src.rows * scale);
+  int nw = py_round(src.cols * scale);
+  int nh = py_round(src.rows * scale);
   dst.setTo(cv::Scalar(pad, pad, pad));
   cv::Mat roi = dst(cv::Rect((S - nw) / 2, (S - nh) / 2, nw, nh));
   if (nw == src.cols && nh == src.rows)
@@ -134,8 +140,8 @@ void mosaic4(const cv::Mat src[4], int n_tiles, cv::Mat& dst, int xc, int yc,
     if (src[i].empty()) continue;
     const int h = src[i].rows, w = src[i].cols;
     double scale = std::min((double)S / h, (double)S / w);
-    int nw = (int)std::lround(w * scale);
-    int nh = (int)std::lround(h * scale);
+    int nw = py_round(w * scale);
+    int nh = py_round(h * scale);
     cv::Mat tile;
     if (nw == w && nh == h) {
       tile = src[i];
@@ -238,6 +244,14 @@ void run_plan(hd_plan* p, Workspace& ws) {
         p->status = 1;
         return;
       }
+      // the caller computed box/letterbox math from sh/sw (annotation
+      // metadata); a mismatch with the actual bitstream (mis-annotated or
+      // EXIF-rotated file) would silently misalign labels — reject it
+      if (p->sh[i] > 0 && p->sw[i] > 0 &&
+          (p->sh[i] != h || p->sw[i] != w)) {
+        p->status = 4;
+        return;
+      }
       if (ws.dec[i].size() < (size_t)h * w * 3)
         ws.dec[i].resize((size_t)h * w * 3);
       if (decode_jpeg(p->jpeg[i], (size_t)p->jlen[i], ws.dec[i].data(),
@@ -281,7 +295,12 @@ struct hd_pool {
   std::condition_variable cv_start, cv_done;
   hd_plan* plans = nullptr;
   int n_plans = 0;
-  std::atomic<int> next{0};
+  // work tickets are GENERATION-TAGGED: (generation << 32) | next_index.
+  // A worker claims an index with a CAS that fails if hd_pool_run has
+  // already published the next batch — otherwise a straggler between its
+  // last done++ and next claim could steal index 0 of the new batch while
+  // holding stale plans/n_plans reads (silently-unrun plan slot).
+  std::atomic<uint64_t> ticket{0};
   std::atomic<int> done{0};
   uint64_t generation = 0;
   bool stop = false;
@@ -290,17 +309,32 @@ struct hd_pool {
     Workspace ws;
     uint64_t seen = 0;
     for (;;) {
+      int n;
+      hd_plan* batch;
       {
         std::unique_lock<std::mutex> lk(mu);
         cv_start.wait(lk, [&] { return stop || generation != seen; });
         if (stop) return;
         seen = generation;
+        n = n_plans;
+        batch = plans;
       }
       for (;;) {
-        int i = next.fetch_add(1);
-        if (i >= n_plans) break;
-        run_plan(&plans[i], ws);
-        if (done.fetch_add(1) + 1 == n_plans) {
+        uint64_t t = ticket.load(std::memory_order_acquire);
+        if ((t >> 32) != seen) break;           // next batch published
+        int i = (int)(t & 0xffffffffu);
+        if (i >= n) break;
+        if (!ticket.compare_exchange_weak(t, t + 1,
+                                          std::memory_order_acq_rel))
+          continue;
+        // exception barrier: a cv::Exception escaping a std::thread would
+        // std::terminate the whole process; surface it as a plan status
+        try {
+          run_plan(&batch[i], ws);
+        } catch (...) {
+          batch[i].status = 3;
+        }
+        if (done.fetch_add(1) + 1 == n) {
           std::lock_guard<std::mutex> lk(mu);
           cv_done.notify_all();
         }
@@ -331,6 +365,7 @@ void hd_pool_destroy(void* pool) {
 }
 
 // blocking: runs all plans on the pool, returns when the batch is assembled.
+// NOT reentrant: the Python side serializes calls per pool (NativePool.run).
 void hd_pool_run(void* pool, hd_plan* plans, int n) {
   auto* p = (hd_pool*)pool;
   if (n <= 0) return;
@@ -338,9 +373,10 @@ void hd_pool_run(void* pool, hd_plan* plans, int n) {
     std::lock_guard<std::mutex> lk(p->mu);
     p->plans = plans;
     p->n_plans = n;
-    p->next.store(0);
     p->done.store(0);
     p->generation++;
+    // publish the new generation's ticket LAST: stale claims CAS-fail
+    p->ticket.store(p->generation << 32, std::memory_order_release);
     p->cv_start.notify_all();
   }
   std::unique_lock<std::mutex> lk(p->mu);
@@ -350,7 +386,11 @@ void hd_pool_run(void* pool, hd_plan* plans, int n) {
 // ---- single-call entry points (tests + ad-hoc use) -------------------------
 void hd_run_plan(hd_plan* plan) {
   Workspace ws;
-  run_plan(plan, ws);
+  try {
+    run_plan(plan, ws);
+  } catch (...) {
+    plan->status = 3;
+  }
 }
 
 void hd_letterbox(const uint8_t* src, int sh, int sw, uint8_t* dst, int S,

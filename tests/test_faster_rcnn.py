@@ -180,3 +180,38 @@ def test_decoupled_head_variant():
     variables = init_faster_rcnn(model, jax.random.PRNGKey(0), cfg.img_size)
     out = faster_rcnn_infer(model, variables, x, cfg)
     assert out[0].shape == (1, cfg.max_det, 4)
+
+
+def test_sample_balanced_zero_fg_quota():
+    """pos_frac=0 (or batch*pos_frac < 1) must select only background —
+    regression for the threshold-top-k rewrite (top_k with k=0)."""
+    import jax
+    from heltondetection_tpu.models.faster_rcnn import _sample_balanced
+    fg = jnp.asarray(np.array([1, 1, 0, 0, 0, 0], bool))
+    bg = ~fg
+    idx, is_fg, valid = jax.jit(
+        lambda r: _sample_balanced(fg, bg, 4, 0.0, r)
+    )(jax.random.PRNGKey(0))
+    assert not bool(is_fg.any())
+    assert int(valid.sum()) == 4
+
+
+def test_generate_proposals_fewer_candidates_than_post_topk():
+    """Tiny inputs: total per-level candidates < rpn_post_nms_topk must pad
+    instead of failing top_k at trace time."""
+    import jax
+    from heltondetection_tpu.models.faster_rcnn import (RCNNConfig,
+                                                        generate_proposals,
+                                                        pyramid_anchors)
+    cfg = RCNNConfig(num_classes=4, img_size=64)
+    anchors, counts = pyramid_anchors(cfg.img_size)
+    n = anchors.shape[0]
+    assert sum(min(cfg.rpn_pre_nms_topk, c) for c in counts) >= 1
+    rng = np.random.default_rng(0)
+    obj = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    deltas = jnp.asarray(0.1 * rng.normal(size=(n, 4)).astype(np.float32))
+    pb, ps, pv = jax.jit(
+        lambda o, d: generate_proposals(o, d, anchors, counts,
+                                        cfg.img_size, cfg))(obj, deltas)
+    assert pb.shape == (cfg.rpn_post_nms_topk, 4)
+    assert bool(pv.any())

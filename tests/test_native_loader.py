@@ -206,3 +206,49 @@ def test_device_aug_pipeline_bit_identical(coco):
         for k in ("images4", "boxes4", "cls4", "mask4", "mosaic4"):
             assert np.array_equal(batch[k][i], one[k]), (i, k)
     pool.close()
+
+
+def test_half_pixel_rounding_matches_python(coco):
+    """int(round()) is half-to-even in Python; the C++ core must match
+    (std::lround's half-away-from-zero skewed tiles 1px vs the box math
+    whenever w*scale lands exactly on .5 — e.g. a (192, 33) source at
+    S=96)."""
+    import cv2 as _cv2  # noqa: F401 — ensures cv2 present for py path
+    lib = get_loader_lib()
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (192, 33, 3)).astype(np.uint8)
+    out = np.empty((96, 96, 3), np.uint8)
+    lib.hd_letterbox(src, 192, 33, out, 96, 114)
+    ref, _, meta = letterbox_np(src, np.zeros((0, 4), np.float32), 96)
+    assert np.array_equal(out, ref)
+
+
+def test_decode_in_pool_rejects_wrong_metadata_dims(tmp_path):
+    import json
+    import cv2
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+    f = tmp_path / "img.jpg"
+    cv2.imwrite(str(f), img)
+    ann = {"images": [{"id": 1, "file_name": "img.jpg",
+                       "height": 80, "width": 60}],  # swapped on purpose
+           "annotations": [], "categories": [{"id": 1, "name": "x"}]}
+    af = tmp_path / "ann.json"
+    af.write_text(json.dumps(ann))
+    ds = COCODataset(str(af), str(tmp_path))
+    nat = _native_train(ds, mosaic_p=0.0, decode_in_pool=True)
+    with pytest.raises(RuntimeError, match="dims disagree"):
+        nat.sample(0, 0)
+
+
+def test_abandoned_epoch_then_new_epoch(coco):
+    loader = TrainLoader(_native_train(coco, mosaic_p=0.5, seed=2), 4,
+                         seed=5, num_workers=2, prefetch=2)
+    it = loader.epoch(0)
+    next(it)
+    it.close()  # abandon mid-epoch: producer must stop and join
+    n = 0
+    for batch in loader.epoch(1):  # must not race the orphaned producer
+        assert batch["image"].shape[0] == 4
+        n += 1
+    assert n == loader.steps_per_epoch()
