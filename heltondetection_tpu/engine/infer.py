@@ -108,6 +108,24 @@ class Detector:
         fb, fs, fc, fv = jax.device_get((fb, fs, fc, fv))
         return self._to_source(fb, fs, fc, fv, meta, img_rgb.shape[:2])
 
+    def detect_batch(self, frames: Sequence[np.ndarray]
+                     ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Batched detection over same-or-mixed-size RGB frames: letterbox
+        on host, ONE device dispatch for the whole batch (the per-dispatch
+        tunnel/PCIe latency dominates frame-at-a-time video inference).
+        TTA is a single-image refinement path — use detect_image for it."""
+        s = self.img_size
+        lbs, metas = [], []
+        for f in frames:
+            lb, _, meta = letterbox_np(f, np.zeros((0, 4), np.float32), s)
+            lbs.append(lb)
+            metas.append(meta)
+        x = jnp.asarray(np.stack(lbs), jnp.float32)
+        ob, os_, oc, ov = jax.device_get(self._detect(x))
+        return [self._to_source(ob[i], os_[i], oc[i], ov[i], metas[i],
+                                frames[i].shape[:2])
+                for i in range(len(frames))]
+
     def _to_source(self, boxes, scores, classes, valid, meta, hw):
         v = np.asarray(valid).astype(bool)
         b = np.asarray(boxes)[v]
@@ -133,9 +151,13 @@ class Detector:
 
     def infer_video_file(self, path: str, out_path: str,
                          class_names: Optional[Sequence[str]] = None,
-                         max_frames: Optional[int] = None) -> int:
-        """Frame-loop video inference (SURVEY.md §3.3 video hot loop).
-        Returns frames processed."""
+                         max_frames: Optional[int] = None,
+                         batch_frames: int = 8) -> int:
+        """Video inference (SURVEY.md §3.3 video hot loop), processing
+        ``batch_frames`` frames per device dispatch (the short tail chunk
+        is padded to the same shape so only one program is compiled; with
+        TTA enabled, falls back to frame-at-a-time TTA fusion). Returns
+        frames processed."""
         from heltondetection_tpu.utils.vis import draw_boxes
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
@@ -146,16 +168,33 @@ class Detector:
         writer = cv2.VideoWriter(out_path,
                                  cv2.VideoWriter_fourcc(*"mp4v"),
                                  fps, (w, h))
+        bs = 1 if self.tta else max(1, batch_frames)
         n = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok or (max_frames and n >= max_frames):
+        eof = False
+        while not eof:
+            chunk: List[np.ndarray] = []
+            while len(chunk) < bs:
+                if max_frames and n + len(chunk) >= max_frames:
+                    eof = True
+                    break
+                ok, frame = cap.read()
+                if not ok:
+                    eof = True
+                    break
+                chunk.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if not chunk:
                 break
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            boxes, scores, classes = self.detect_image(rgb)
-            rendered = draw_boxes(rgb, boxes, scores, classes, class_names)
-            writer.write(cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
-            n += 1
+            if bs == 1:
+                dets = [self.detect_image(chunk[0])]
+            else:
+                real = len(chunk)
+                padded = chunk + [chunk[-1]] * (bs - real)  # static shape
+                dets = self.detect_batch(padded)[:real]
+            for rgb, (boxes, scores, classes) in zip(chunk, dets):
+                rendered = draw_boxes(rgb, boxes, scores, classes,
+                                      class_names)
+                writer.write(cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+                n += 1
         cap.release()
         writer.release()
         return n

@@ -95,3 +95,18 @@ def test_vis_draw_and_heatmaps():
     raws = [np.random.default_rng(2).normal(size=(8, 8, 3 * 9))]
     om = objectness_maps(img, raws, num_classes=4)
     assert om.shape == (64, 64, 3)
+
+
+def test_detect_batch_matches_detect_image(tiny_detector):
+    """Batched video-path detection must reproduce the per-frame path."""
+    fwd, nc = tiny_detector
+    det = Detector(fwd, nc, 64, conf_thres=0.01)
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(5)]
+    singles = [det.detect_image(f) for f in frames]
+    batched = det.detect_batch(frames)
+    for (b1, s1, c1), (b2, s2, c2) in zip(singles, batched):
+        np.testing.assert_allclose(b1, b2, atol=1e-4)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        assert np.array_equal(c1, c2)
