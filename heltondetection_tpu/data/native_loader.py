@@ -111,8 +111,20 @@ class _NativePipelineBase:
             return {j: self._fetch(j) for j in ids}
         if self._fetch_pool is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._fetch_pool = ThreadPoolExecutor(16)
+            self._fetch_pool = ThreadPoolExecutor(
+                16, thread_name_prefix="hd-fetch")
         return dict(zip(ids, self._fetch_pool.map(self._fetch, ids)))
+
+    def close(self) -> None:
+        if getattr(self, "_fetch_pool", None) is not None:
+            self._fetch_pool.shutdown(wait=False)
+            self._fetch_pool = None
+
+    def __del__(self):  # pragma: no cover — interpreter-exit ordering
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 
@@ -452,6 +464,7 @@ class NativeDeviceAugPipeline(_NativePipelineBase):
         s = self.img_size
         images = np.full((bsz, 4, s, s, 3), 114, np.uint8)
         all_plans: List[HdPlan] = []
+        plan_owner: List[int] = []   # flat plan index -> sample index
         keeps: List = []
         tgt: List[Dict] = []
         cache = self._prefetch({j for idx in idxs
@@ -460,12 +473,13 @@ class NativeDeviceAugPipeline(_NativePipelineBase):
             plans, targets, keep = self.plan(int(idx), epoch, images[i],
                                              cache)
             all_plans.extend(plans)
+            plan_owner.extend([int(idx)] * len(plans))
             keeps.append(keep)
             tgt.append(targets)
         arr = (HdPlan * len(all_plans))(*all_plans)
         pool.run(arr, len(all_plans))
         for i in range(len(all_plans)):
-            _check_status(arr[i].status, "<device-aug batch>")
+            _check_status(arr[i].status, plan_owner[i])
         return {
             "images4": images,
             "boxes4": np.stack([t["boxes4"] for t in tgt]),

@@ -30,18 +30,31 @@ def _src_tag(path: str) -> str:
         return hashlib.sha256(f.read()).hexdigest()[:12]
 
 
+def _compile(cmd_tail, out: str, timeout: int) -> Optional[str]:
+    """Compile to a temp path and os.rename into place: a SIGKILLed or
+    concurrent g++ must never leave a truncated .so at the final name
+    (it would be trusted forever by the exists() check)."""
+    if os.path.exists(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC"] + cmd_tail +
+                       ["-o", tmp], check=True, capture_output=True,
+                       timeout=timeout)
+        os.replace(tmp, out)
+        return out
+    except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
 def _build() -> Optional[str]:
     src = os.path.join(_HERE, "cocoeval_core.cpp")
     out = os.path.join(_HERE, f"libcocoeval-{_src_tag(src)}.so")
-    if os.path.exists(out):
-        return out
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", out],
-            check=True, capture_output=True, timeout=120)
-        return out
-    except (OSError, subprocess.SubprocessError):
-        return None
+    return _compile([src], out, 120)
 
 
 def get_cocoeval_lib() -> Optional[ctypes.CDLL]:
@@ -54,7 +67,10 @@ def get_cocoeval_lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
         lib.match_dets.argtypes = [
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -108,17 +124,8 @@ class HdPlan(ctypes.Structure):
 def _build_loader() -> Optional[str]:
     src = os.path.join(_HERE, "loader_core.cpp")
     out = os.path.join(_HERE, f"libloader-{_src_tag(src)}.so")
-    if os.path.exists(out):
-        return out
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-I/usr/include/opencv4",
-             src, "-o", out, "-lopencv_core", "-lopencv_imgproc", "-ljpeg",
-             "-pthread"],
-            check=True, capture_output=True, timeout=300)
-        return out
-    except (OSError, subprocess.SubprocessError):
-        return None
+    return _compile(["-I/usr/include/opencv4", src, "-lopencv_core",
+                     "-lopencv_imgproc", "-ljpeg", "-pthread"], out, 300)
 
 
 def get_loader_lib() -> Optional[ctypes.CDLL]:

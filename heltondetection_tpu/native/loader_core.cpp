@@ -321,7 +321,10 @@ struct hd_pool {
       }
       for (;;) {
         uint64_t t = ticket.load(std::memory_order_acquire);
-        if ((t >> 32) != seen) break;           // next batch published
+        // compare the TRUNCATED tags: the store keeps only 32 generation
+        // bits, so masking `seen` avoids a permanent mismatch (and a
+        // silent hd_pool_run hang) after 2^32 batches on one pool
+        if ((t >> 32) != (seen & 0xffffffffu)) break;  // next batch published
         int i = (int)(t & 0xffffffffu);
         if (i >= n) break;
         if (!ticket.compare_exchange_weak(t, t + 1,

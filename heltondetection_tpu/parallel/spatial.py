@@ -50,10 +50,9 @@ def shard_images_spatial(images: Any, mesh: Mesh, **kw) -> Any:
 
 def spatial_forward(model, variables, mesh: Mesh, *, train: bool = False,
                     **kw):
-    """Jit the model forward with spatially-sharded activations: returns
-    ``fwd(images)`` expecting images already placed with
-    :func:`image_sharding` (or any layout — jit reshards as needed)."""
-    rep = NamedSharding(mesh, P())
+    """Jit the model forward with spatially-sharded activations. Returns a
+    ``(fwd, images_sharding)`` tuple: call ``fwd(images)`` with images
+    placed via the returned sharding (or any layout — jit reshards)."""
     imgs = image_sharding(mesh, **kw)
     return jax.jit(lambda x: model.apply(variables, x, train=train),
                    in_shardings=(imgs,),
