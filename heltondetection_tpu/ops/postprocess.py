@@ -313,10 +313,11 @@ def make_fused_postprocess(num_classes: int, *, conf_thres: float = 0.001,
 
     ``use_pallas=None`` auto-selects the Pallas NMS kernel on TPU backends
     and the XLA fixpoint elsewhere (CPU tests, CPU meshes). ``approx``
-    swaps the exact top-k stages for ``lax.approx_max_k`` (~1-2 ms faster
-    per 128-image batch, recall ≈0.95 on the candidate tails) — OFF by
-    default so eval matches the reference semantics; opt in for
-    max-throughput serving.
+    swaps the exact top-k stages for ``lax.approx_max_k`` — measured 2×
+    SLOWER end-to-end on v5e via the axon stack (70.2 vs 35.5 ms/batch at
+    b128; the PartialReduce lowering loses badly to the exact sort here),
+    so leave it OFF; the knob remains for backends where PartialReduce is
+    fast.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
