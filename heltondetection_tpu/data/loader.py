@@ -3,7 +3,7 @@ fixed-shape HBM-resident batches — the TPU-native stand-in for the
 reference's DataLoader worker processes (SURVEY.md §3.1 hot loop: "mosaic
 decodes 4 images per sample — the CPU bottleneck the TPU build moves
 on-device"; JPEG decode + compositing stay host-side per §2b N7, the
-normalize runs fused in the jitted step via :func:`device_prep`).
+normalize is fused inside the jitted train step).
 
 Deterministic: worker ordering never affects content because every sample is
 seeded by (seed, epoch, index); threads only change *when* things are
@@ -22,8 +22,10 @@ import numpy as np
 
 
 def device_prep(images_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (B,S,S,3) → float32 [0,1]; jit-inlined into the train step so
-    the 4x-smaller uint8 batch is what crosses PCIe/ICI."""
+    """uint8 (B,S,S,3) → float32 [0,1]. NOTE: the train steps now fuse this
+    normalization inside jit themselves (train/trainer.py) — calling this
+    eagerly costs an extra dispatch and a (B,S,S,3) f32 HBM round-trip.
+    Kept for ad-hoc use; the uint8 batch is what should cross PCIe/ICI."""
     return images_u8.astype(jnp.float32) / 255.0
 
 

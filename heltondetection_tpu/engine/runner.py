@@ -20,8 +20,7 @@ import numpy as np
 
 from heltondetection_tpu.configs.base import ExperimentConfig
 from heltondetection_tpu.data.augment import EvalPipeline, TrainPipeline
-from heltondetection_tpu.data.loader import (EvalLoader, TrainLoader,
-                                             device_prep)
+from heltondetection_tpu.data.loader import EvalLoader, TrainLoader
 from heltondetection_tpu.engine.evaluator import Evaluator
 from heltondetection_tpu.parallel.mesh import (create_mesh, replicate,
                                                shard_batch)
@@ -332,9 +331,9 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         agg: Dict[str, float] = {}
         n_steps = 0
         for batch in loader.epoch(epoch):
+            # images stay uint8 until inside the jitted step (the train
+            # steps normalize fused; device_aug normalizes in its own path)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if not device_aug:
-                batch["image"] = device_prep(batch["image"])
             if is_rcnn:
                 from heltondetection_tpu.ops.boxes import cxcywh_to_xyxy
                 batch["gt_boxes_xyxy"] = cxcywh_to_xyxy(batch.pop("gt_boxes"))

@@ -64,9 +64,12 @@ def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
     from heltondetection_tpu.models.faster_rcnn import faster_rcnn_loss
 
     def loss_fn(params, batch_stats, batch, rng):
+        img = batch["image"]
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0  # fused normalize
         loss, metrics, new_stats = faster_rcnn_loss(
             model, {"params": params, "batch_stats": batch_stats},
-            batch["image"], batch["gt_boxes_xyxy"], batch["gt_cls"],
+            img, batch["gt_boxes_xyxy"], batch["gt_cls"],
             batch["gt_mask"], rcnn_cfg, rng, train=True)
         return loss, (metrics, new_stats)
 
@@ -103,9 +106,14 @@ def make_train_step(model, tx, loss_cfg: YoloLossConfig,
     base_key = jax.random.PRNGKey(0)
 
     def loss_fn(params, batch_stats, batch, step):
+        img = batch["image"]
+        if img.dtype == jnp.uint8:
+            # normalization fused INTO the step: an eager u8→f32 pass
+            # outside jit costs a dispatch + a (B,S,S,3) f32 HBM round-trip
+            img = img.astype(jnp.float32) / 255.0
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True, mutable=["batch_stats"],
+            img, train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.fold_in(base_key, step)})
         # packed train head (models/yolov5._PackedDetect) emits per-level
         # tuples; the standard head emits arrays — same math either way
