@@ -45,11 +45,10 @@ def main(argv=None):
     elif args.mode == "export":
         from heltondetection_tpu.engine.runner import (_load_eval_variables,
                                                        build_model)
-        from heltondetection_tpu.engine.export import export_yolov5
+        from heltondetection_tpu.engine.export import export_model
         model = build_model(cfg.model, cfg.model.num_classes)
         variables = _load_eval_variables(cfg, model)
-        export_yolov5(model, variables, cfg.model.num_classes,
-                      cfg.model.img_size, args.out or "model.stablehlo")
+        export_model(cfg, model, variables, args.out or "model.stablehlo")
     return 0
 
 

@@ -70,6 +70,10 @@ class TrainConfig:
     eval_interval: int = 10           # epochs between val evals
     ckpt_interval: int = 5
     pretrain_ckpt: Optional[str] = None   # transfer init (README.md:79)
+    backbone_pretrain: Optional[str] = None   # torchvision ResNet .pth
+    # (ImageNet weights) grafted onto params["backbone"] via
+    # utils/torch_convert.convert_resnet — the reference's FasterRCNN rows
+    # all start from ImageNet-pretrained ResNet50 (README.md:65,132)
 
 
 @dataclass

@@ -53,3 +53,33 @@ def export_yolov5(model, variables, num_classes: int, img_size: int,
 
     x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.uint8)
     export_serving_fn(serve, (x,), path)
+
+
+def export_faster_rcnn(model, variables, img_size: int, path: str, *,
+                       batch_size: int = 1) -> None:
+    """FasterRCNN serving-graph export: uint8 batch → (boxes, scores,
+    classes, valid) fixed-shape dets, the same ``faster_rcnn_infer``
+    pipeline the evaluator runs (RPN → RoIAlign → box head → class NMS).
+    The reference scopes ONNX export to YOLOv5 only (README.md:23); the
+    StableHLO path covers both families."""
+    from heltondetection_tpu.models.faster_rcnn import faster_rcnn_infer
+
+    def serve(images_u8):
+        images = images_u8.astype(jnp.float32) / 255.0
+        return faster_rcnn_infer(model, variables, images, model.cfg)
+
+    x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.uint8)
+    export_serving_fn(serve, (x,), path)
+
+
+def export_model(cfg, model, variables, path: str) -> None:
+    """Family dispatch for the CLI ``--mode export``."""
+    if cfg.model.family == "yolov5":
+        export_yolov5(model, variables, cfg.model.num_classes,
+                      cfg.model.img_size, path,
+                      conf_thres=cfg.test.conf_thres,
+                      iou_thres=cfg.test.iou_thres)
+    elif cfg.model.family == "faster_rcnn":
+        export_faster_rcnn(model, variables, cfg.model.img_size, path)
+    else:
+        raise ValueError(f"no export path for family {cfg.model.family!r}")

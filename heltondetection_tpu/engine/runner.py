@@ -287,6 +287,18 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         else:
             step_fn = jax.jit(base_step)
 
+    if cfg.train.backbone_pretrain:
+        # ImageNet-pretrained backbone ingestion (README.md:65,132): a
+        # torchvision ResNet state_dict .pth converted + grafted in place
+        from heltondetection_tpu.utils.torch_convert import graft_backbone
+        params, batch_stats = graft_backbone(
+            state.params, state.batch_stats, cfg.train.backbone_pretrain)
+        state = state._replace(
+            params=params, batch_stats=batch_stats,
+            ema_params=params if state.ema_params is not None else None)
+        logger.info("loaded pretrained backbone from %s",
+                    cfg.train.backbone_pretrain)
+
     if cfg.train.pretrain_ckpt:  # transfer init (README.md:79)
         params = ckpt_io.load_params_for_transfer(cfg.train.pretrain_ckpt,
                                                   state.params)

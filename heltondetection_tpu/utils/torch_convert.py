@@ -125,6 +125,122 @@ def convert_yolov5(state_dict: Mapping, depth_multiple: float = 0.33
     return P, S
 
 
+def convert_resnet(state_dict: Mapping) -> Tuple[Dict, Dict]:
+    """torchvision-v1 ResNet state_dict → (params, batch_stats) for our
+    ``models.resnet.ResNet`` (any depth; stage/block structure is inferred
+    from the keys). This is the ImageNet-pretrained ingestion path for the
+    FasterRCNN family: the reference's FasterRCNN results all start from
+    ImageNet-pretrained ResNet50 (reference README.md:65), and the
+    frozen-backbone ablation (README.md:132) presumes it.
+
+    Mapping: ``conv1``→stem_conv, ``bn1``→stem_bn,
+    ``layer{L}.{i}.{conv,bn}{k}``→``layer{L}_{i}/{conv,bn}{k}``,
+    ``downsample.0/1``→``ds_conv``/``ds_bn``; ``fc.*`` dropped. Torch BN
+    weight/bias→scale/bias params, running stats→batch_stats.
+    """
+    P: Dict = {}
+    S: Dict = {}
+
+    def put(tree, dotted, leaf):
+        parts = dotted.split("/")
+        for p in parts[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[parts[-1]] = leaf
+
+    for key, val in state_dict.items():
+        if key.startswith("fc.") or key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(val)
+        if key == "conv1.weight":
+            put(P, "stem_conv/kernel", _conv(arr))
+            continue
+        if key.startswith("bn1."):
+            field = key.split(".", 1)[1]
+            _put_bn(P, S, "stem_bn", field, arr)
+            continue
+        parts = key.split(".")             # layer1 . 0 . conv1 . weight ...
+        block = f"{parts[0]}_{parts[1]}"
+        if parts[2] == "downsample":
+            name = "ds_conv" if parts[3] == "0" else "ds_bn"
+            if name == "ds_conv":
+                put(P, f"{block}/ds_conv/kernel", _conv(arr))
+            else:
+                _put_bn(P, S, f"{block}/ds_bn", parts[4], arr)
+        elif parts[2].startswith("conv"):
+            put(P, f"{block}/{parts[2]}/kernel", _conv(arr))
+        elif parts[2].startswith("bn"):
+            _put_bn(P, S, f"{block}/{parts[2]}", parts[3], arr)
+        else:
+            raise KeyError(f"unrecognized torchvision ResNet key: {key}")
+    return P, S
+
+
+def _put_bn(P: Dict, S: Dict, prefix: str, field: str, arr) -> None:
+    def put(tree, dotted, leaf):
+        parts = dotted.split("/")
+        for p in parts[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[parts[-1]] = leaf
+
+    if field == "weight":
+        put(P, f"{prefix}/scale", arr)
+    elif field == "bias":
+        put(P, f"{prefix}/bias", arr)
+    elif field == "running_mean":
+        put(S, f"{prefix}/mean", arr)
+    elif field == "running_var":
+        put(S, f"{prefix}/var", arr)
+    else:
+        raise KeyError(f"unrecognized BN field {field} under {prefix}")
+
+
+def load_torchvision_resnet(path: str):
+    """Load a torchvision ResNet .pth state_dict file → (params,
+    batch_stats) pytrees for ``models.resnet.ResNet`` (jnp leaves).
+    Requires torch (CPU) to unpickle."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.replace("module.", ""): v.float().numpy()
+          if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params, stats = convert_resnet(sd)
+    return _to_jnp(params), _to_jnp(stats)
+
+
+def graft_backbone(params, batch_stats, path: str):
+    """Replace the ``backbone`` subtree of an initialized detector pytree
+    with converted torchvision-ResNet weights from ``path``; returns new
+    (params, batch_stats). Leaf-shape mismatches raise with the offending
+    paths so a wrong-variant file fails loudly, not as silent NaNs."""
+    import jax
+
+    bp, bs = load_torchvision_resnet(path)
+    for name, have, want in (("params", bp, params["backbone"]),
+                             ("batch_stats", bs, batch_stats["backbone"])):
+        have_s = {"/".join(str(getattr(p, "key", p)) for p in pth):
+                  tuple(leaf.shape) for pth, leaf in
+                  jax.tree_util.tree_flatten_with_path(have)[0]}
+        want_s = {"/".join(str(getattr(p, "key", p)) for p in pth):
+                  tuple(leaf.shape) for pth, leaf in
+                  jax.tree_util.tree_flatten_with_path(want)[0]}
+        if have_s != want_s:
+            diff = {k: (have_s.get(k), want_s.get(k))
+                    for k in set(have_s) | set(want_s)
+                    if have_s.get(k) != want_s.get(k)}
+            raise ValueError(
+                f"backbone_pretrain {name} mismatch vs model (converted, "
+                f"expected): {diff}")
+    new_params = dict(params)
+    new_params["backbone"] = bp
+    new_stats = dict(batch_stats)
+    new_stats["backbone"] = bs
+    return new_params, new_stats
+
+
 def load_ultralytics_checkpoint(path: str, num_classes: int = 80,
                                 variant: str = "s"):
     """Load a .pt checkpoint file → (model, variables) ready for eval.

@@ -68,15 +68,15 @@ def test_delta_coder_roundtrip():
 
 
 def test_decode_deltas_matches_torchvision():
-    tv = pytest.importorskip("torchvision.models.detection._utils",
-                             reason="torchvision not available")
-    import torch
+    """vs the vendored numpy port of torchvision BoxCoder.decode_single
+    (tests/torch_refs.py), always runnable offline."""
+    from torch_refs import decode_deltas_numpy
     rng = np.random.default_rng(4)
     x = rng.uniform(0, 400, (32, 2))
     anchors = np.concatenate([x, x + rng.uniform(8, 128, (32, 2))], 1).astype(np.float32)
     deltas = rng.normal(0, 0.5, (32, 4)).astype(np.float32)
-    coder = tv.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
-    ref = coder.decode_single(torch.tensor(deltas), torch.tensor(anchors)).numpy()
+    ref = decode_deltas_numpy(deltas=deltas, anchors=anchors,
+                              weights=(10.0, 10.0, 5.0, 5.0))
     ours = np.asarray(B.decode_deltas(jnp.asarray(anchors), jnp.asarray(deltas),
                                       (10.0, 10.0, 5.0, 5.0)))
     np.testing.assert_allclose(ours, ref, atol=1e-3)
