@@ -2,13 +2,13 @@
 including v6.1 decode + multi-label class-aware NMS (the BASELINE.json
 north-star metric: "COCO val2017 images/sec/chip (YOLOv5s 640²) incl. NMS").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes NO throughput numbers (BASELINE.md), so
-the denominator is the public Ultralytics figure for YOLOv5s on A100
-(TensorRT FP16 batch-32 ≈ 0.8 ms/img ≈ 1250 img/s, ultralytics/yolov5 v6.1
-release table). vs_baseline = ours / 1250; the north-star target is ≥ 2.0.
-"""
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+honesty fields: "baseline_source" (the denominator is the PUBLIC
+Ultralytics A100 figure, not a local measurement — no A100 exists in this
+environment, and TRT figures exclude NMS while ours includes it, so the
+ratio is conservative), "achieved_tflops" and "mfu_pct" (XLA cost-analysis
+FLOPs / measured time / 197 TFLOP/s v5e bf16 peak) so the perf claim does
+not rest on a cross-vendor ratio alone."""
 
 import json
 import time
@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_S = 1250.0  # Ultralytics YOLOv5s TensorRT FP16 A100 b32
+BASELINE_SOURCE = ("public Ultralytics YOLOv5s v6.1 A100 TensorRT-FP16 b32 "
+                   "figure (~0.8 ms/img); reference publishes no img/s, no "
+                   "A100 in this environment to measure")
+V5E_PEAK_TFLOPS = 197.0  # bf16 peak per chip (public v5e spec)
 BATCH = 128  # throughput batch: the axon tunnel has ~18 ms/dispatch
              # latency, so small batches are dispatch-bound
 WARMUP = 3
@@ -73,12 +77,26 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     img_s = BATCH / dt
 
+    # MFU from XLA's own cost model of the exact compiled program
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    achieved_tflops = flops / dt / 1e12
+    mfu = 100.0 * achieved_tflops / V5E_PEAK_TFLOPS
+
     print(json.dumps({
         "metric": f"YOLOv5s 640^2 fwd+decode+NMS images/sec/chip "
                   f"(bf16, b{BATCH})",
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+        "baseline_source": BASELINE_SOURCE,
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_pct": round(mfu, 2),
     }))
 
 

@@ -73,6 +73,12 @@ def _prefetched(it: Iterator, depth: int) -> Iterator:
             except queue.Empty:
                 break
         t.join(timeout=30.0)
+        if t.is_alive():  # a wedged native pool must be visible, not leaked
+            import logging
+            logging.getLogger("heltondetection").error(
+                "loader producer thread failed to stop within 30s — the "
+                "native pool may be wedged; its run-lock keeps state safe "
+                "but the thread is leaked")
 
 
 def _stack(samples: List[Dict], keys) -> Dict[str, Any]:
@@ -86,7 +92,34 @@ def _stack(samples: List[Dict], keys) -> Dict[str, Any]:
     return out
 
 
-class TrainLoader:
+class _LoaderBase:
+    """close()/context-manager support shared by both loaders: releases the
+    lazily-created C++ NativePool (worker threads) and the pipeline's fetch
+    executor — constructing loaders repeatedly (e.g. run_eval each epoch)
+    must not accumulate thread pools until GC."""
+
+    def close(self) -> None:
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.close()
+            del self._pool
+        if hasattr(self.pipe, "close"):
+            self.pipe.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover — interpreter-exit ordering
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class TrainLoader(_LoaderBase):
     """Iterates shuffled fixed-size batches of augmented train samples.
 
     Each epoch: deterministic shuffle by (seed, epoch); drop_last semantics
@@ -165,7 +198,7 @@ class TrainLoader:
                 yield _stack([f.result() for f in futs], keys)
 
 
-class EvalLoader:
+class EvalLoader(_LoaderBase):
     """Fixed-shape eval batches; the final short batch is padded with
     ``img_id=None`` rows the evaluator skips (SURVEY.md §7 static shapes)."""
 

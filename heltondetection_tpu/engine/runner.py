@@ -135,9 +135,9 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                 decode_in_pool=cfg.train.decode_in_pool)
     if eval_pipe is None:
         eval_pipe = EvalPipeline(ds, cfg.model.img_size)
-    loader = EvalLoader(eval_pipe, cfg.eval.batch_size,
-                        num_workers=cfg.train.num_workers)
-    stats = ev.run(loader, det_eval=det, verbose=False)
+    with EvalLoader(eval_pipe, cfg.eval.batch_size,
+                    num_workers=cfg.train.num_workers) as loader:
+        stats = ev.run(loader, det_eval=det, verbose=False)
     if verbose:
         logger.info("eval results for %s:\n%s", cfg.name,
                     format_summary(stats))
@@ -338,6 +338,21 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         jax.config.update("jax_debug_nans", True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best = {}
+    try:
+        best = _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh,
+                             rng, tb, logger, start_epoch, steps_per_epoch,
+                             model)
+    finally:
+        loader.close()
+        if trace_dir:
+            jax.profiler.stop_trace()
+        tb.close()
+    return best
+
+
+def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
+                  logger, start_epoch, steps_per_epoch, model):
+    best: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         agg: Dict[str, float] = {}
@@ -383,9 +398,6 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                             stats["AP"], stats["AP50"])
                 best = stats if stats.get("AP", 0) >= best.get("AP", -1) \
                     else best
-    if trace_dir:
-        jax.profiler.stop_trace()
-    tb.close()
     return best
 
 

@@ -304,10 +304,12 @@ def _top_quota_mask(pri: jnp.ndarray, mask: jnp.ndarray, quota,
     """Select the ``quota`` highest-priority entries of ``mask`` (quota may
     be a dynamic scalar ≤ max_quota) WITHOUT materializing full ranks: the
     quota-th top value is the selection threshold. Priorities are iid
-    uniforms, so ties have measure zero and the selected set equals the
-    rank-based formulation — but a (k)-top-k replaces the full argsort +
-    (n)-scatter rank materialization (~16 ms/step of the RCNN 832² b8
-    train step across the vmapped RPN sampling)."""
+    uniforms; f32 uniforms CAN collide (~2⁻²⁴ per pair), in which case
+    ``pri >= thr`` selects quota+1 rows on a tie — benign here, because
+    every caller feeds the mask into a final fixed-(batch,) top_k gather
+    that absorbs the extra row. The win: a (k)-top-k replaces the full
+    argsort + (n)-scatter rank materialization (~16 ms/step of the RCNN
+    832² b8 train step across the vmapped RPN sampling)."""
     if max_quota <= 0:  # e.g. pos_frac = 0: statically select nothing
         return jnp.zeros_like(mask)
     kth = jax.lax.top_k(pri, max_quota)[0][

@@ -42,6 +42,7 @@ def _compile(cmd_tail, out: str, timeout: int) -> Optional[str]:
                        ["-o", tmp], check=True, capture_output=True,
                        timeout=timeout)
         os.replace(tmp, out)
+        _prune_stale(out)
         return out
     except (OSError, subprocess.SubprocessError):
         try:
@@ -49,6 +50,21 @@ def _compile(cmd_tail, out: str, timeout: int) -> Optional[str]:
         except OSError:
             pass
         return None
+
+
+def _prune_stale(current: str) -> None:
+    """After a successful build, drop sibling artifacts of the same stem
+    with a different content hash (plus orphaned .tmp.<pid> files from
+    SIGKILLed builds) so edits don't accumulate .so files forever."""
+    import glob
+    stem = os.path.basename(current).split("-", 1)[0]
+    for p in glob.glob(os.path.join(_HERE, f"{stem}-*.so")) + \
+            glob.glob(os.path.join(_HERE, f"{stem}-*.so.tmp.*")):
+        if os.path.abspath(p) != os.path.abspath(current):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass  # in use elsewhere / already gone
 
 
 def _build() -> Optional[str]:

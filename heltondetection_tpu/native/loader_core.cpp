@@ -218,7 +218,10 @@ typedef struct {
   int do_flip;
   int pad_value;
   uint8_t* out;
-  int status;              // 0 ok; 1/2 = decode failure
+  int status;              // 0 ok; 1 jpeg decode failure; 2 no pixel
+                           // source; 3 caught native exception;
+                           // 4 bitstream dims disagree with annotation
+                           // metadata (mirrors Python _PLAN_ERRORS)
 } hd_plan;
 
 namespace {

@@ -53,10 +53,23 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def init_distributed():
-    """Multi-host init (no-op on a single host). The reference's torchrun
-    process-group bootstrap (SURVEY.md §3.1) maps to this single call."""
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host init — the reference's torchrun process-group bootstrap
+    (SURVEY.md §3.1) maps to this single call; afterwards `jax.devices()`
+    spans every host and `create_mesh()` builds the global mesh (gradient
+    all-reduce rides ICI within a slice, DCN/Gloo across hosts).
+
+    With no arguments it auto-detects a cluster environment (TPU pod
+    metadata / SLURM vars) and is a no-op on a single host. Explicit
+    arguments bootstrap an ad-hoc cluster (tested via a real 2-process CPU
+    cluster in tests/test_multihost.py). Returns True when a multi-process
+    runtime is active."""
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     except (ValueError, RuntimeError):
-        pass  # single-process / already initialised
+        return jax.process_count() > 1  # single-process / already initialised
+    return jax.process_count() > 1
