@@ -71,6 +71,7 @@ class DetEval:
     _dts: Dict = field(default_factory=dict)
     _img_ids: set = field(default_factory=set)
     _cat_ids: set = field(default_factory=set)
+    _prep_cache: Dict = field(default_factory=dict)  # see _prep_img_cat
 
     def add_gt(self, img_id, boxes_xywh, classes, iscrowd=None, areas=None,
                ignore=None):
@@ -81,6 +82,7 @@ class DetEval:
         areas = (boxes_xywh[:, 2] * boxes_xywh[:, 3]) if areas is None else np.asarray(areas, np.float64)
         ignore = np.zeros(n, np.int64) if ignore is None else np.asarray(ignore, np.int64)
         self._img_ids.add(img_id)
+        self._prep_cache.clear()
         for i in range(n):
             key = (img_id, int(classes[i]))
             self._gts.setdefault(key, []).append(
@@ -93,12 +95,42 @@ class DetEval:
         scores = np.asarray(scores, np.float64).reshape(-1)
         classes = np.asarray(classes, np.int64).reshape(-1)
         self._img_ids.add(img_id)
+        self._prep_cache.clear()
         for i in range(len(scores)):
             key = (img_id, int(classes[i]))
             self._dts.setdefault(key, []).append((boxes_xywh[i], float(scores[i])))
             self._cat_ids.add(int(classes[i]))
 
     # -- core ----------------------------------------------------------------
+
+    def _prep_img_cat(self, img_id, cat, max_det):
+        """Per-(img, cat) arrays + IoU matrix, computed ONCE and shared by
+        all four area ranges (area only changes the gt-ignore flags — the
+        boxes, score order, and IoUs don't move). Dets are score-sorted and
+        capped at the largest maxDet; gts stay in insertion order (each
+        area range applies its own non-ignored-first permutation)."""
+        key = (img_id, cat, max_det)
+        cached = self._prep_cache.get(key)
+        if cached is not None:
+            return cached
+        gts = self._gts.get((img_id, cat), [])
+        dts = self._dts.get((img_id, cat), [])
+        if not gts and not dts:
+            prep = None
+        else:
+            g_boxes = np.array([g[0] for g in gts]).reshape(-1, 4)
+            g_crowd = np.array([g[1] for g in gts], np.int64)
+            g_areas = np.array([g[2] for g in gts], np.float64)
+            g_flag = np.array([g[3] for g in gts], np.int64)  # ignore|crowd
+            d_scores_all = np.array([d[1] for d in dts])
+            dt_order = np.argsort(-d_scores_all, kind="mergesort")[:max_det]
+            d_boxes = np.array([dts[i][0] for i in dt_order]).reshape(-1, 4)
+            d_scores = d_scores_all[dt_order] if len(dts) else d_scores_all
+            ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
+            prep = (g_boxes, g_crowd, g_areas, g_flag, d_boxes, d_scores,
+                    ious)
+        self._prep_cache[key] = prep
+        return prep
 
     def _evaluate_img(self, img_id, cat, area_rng, max_det):
         """Port of COCOeval.evaluateImg for one (img, cat, area); matching is
@@ -111,29 +143,20 @@ class DetEval:
         (non-ignored-first, stable) order wins, and ignored gts are only
         eligible when no non-ignored gt clears the threshold.
         """
-        gts = self._gts.get((img_id, cat), [])
-        dts = self._dts.get((img_id, cat), [])
-        if not gts and not dts:
+        prep = self._prep_img_cat(img_id, cat, max_det)
+        if prep is None:
             return None
+        g_boxes, g_crowd, g_areas, g_flag, d_boxes, d_scores, ious = prep
         T = len(self.iou_thrs)
 
-        g_ig = np.array([1 if (g[3] or g[2] < area_rng[0] or g[2] > area_rng[1])
-                         else 0 for g in gts], np.int64)
+        g_ig = (g_flag.astype(bool) | (g_areas < area_rng[0]) |
+                (g_areas > area_rng[1])).astype(np.int64)
         gt_order = np.argsort(g_ig, kind="stable")  # non-ignored first
-        gts = [gts[i] for i in gt_order]
         g_ig = g_ig[gt_order]
-        g_boxes = np.array([g[0] for g in gts]).reshape(-1, 4)
-        g_crowd = np.array([g[1] for g in gts], np.int64)
+        g_crowd = g_crowd[gt_order]
+        ious = ious[:, gt_order]
 
-        d_scores_all = np.array([d[1] for d in dts])
-        dt_order = np.argsort(-d_scores_all, kind="mergesort")[:max_det]
-        dts = [dts[i] for i in dt_order]
-        d_boxes = np.array([d[0] for d in dts]).reshape(-1, 4)
-        d_scores = np.array([d[1] for d in dts])
-
-        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
-
-        G, D = len(gts), len(dts)
+        G, D = len(g_ig), len(d_scores)
         native = None
         if G and D:
             from heltondetection_tpu.native import match_dets_native
@@ -227,22 +250,20 @@ class DetEval:
                         rc = tp / npig
                         pr = tp / np.maximum(fp + tp, np.spacing(1))
                         recall[t, k, a, m] = rc[-1] if nd else 0
-                        # precision envelope (monotone decreasing from right)
+                        # precision envelope (monotone non-increasing from
+                        # the right) — vectorized reverse running max
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         q = np.zeros(R)
                         ss = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
                         inds = np.searchsorted(rc, REC_THRS, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < nd:
-                                q[ri] = pr[pi]
-                                ss[ri] = dt_scores[pi]
+                        ok = inds < nd
+                        q[ok] = pr[inds[ok]]
+                        ss[ok] = dt_scores[inds[ok]]
                         precision[t, :, k, a, m] = q
                         scores_out[t, :, k, a, m] = ss
         self._precision = precision
         self._recall = recall
+        self._prep_cache.clear()   # free the per-(img,cat) IoU cache
         return precision, recall
 
     def summarize(self) -> Dict[str, float]:
