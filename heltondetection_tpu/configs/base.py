@@ -43,6 +43,11 @@ class ModelConfig:
     freeze_backbone: bool = False     # README.md:132
     dropblock_p: float = 0.0          # README.md:97,131 ablations
     roi_levels: int = 4               # 1 = "P2" head variants (README.md:65)
+    backbone_norm_eval: bool = True   # FrozenBN during training — the
+    # torchvision/mmdet pretrained-fine-tune default (faster_rcnn only;
+    # set False for from-scratch SyncBN training)
+    backbone_frozen_stages: int = 1   # stem+layer1 stop-gradient
+    # (torchvision trainable_backbone_layers=3; faster_rcnn only)
 
 
 @dataclass

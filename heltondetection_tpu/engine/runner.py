@@ -65,9 +65,25 @@ def build_model(mc, num_classes: int):
                           roi_method=mc.roi_method,
                           dropblock_p=mc.dropblock_p,
                           roi_levels=mc.roi_levels,
-                          backbone=mc.backbone or "resnet50")
+                          backbone=mc.backbone or "resnet50",
+                          backbone_norm_eval=mc.backbone_norm_eval,
+                          backbone_frozen_stages=mc.backbone_frozen_stages)
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
+
+
+def _frozen_prefixes(mc) -> tuple:
+    """Optimizer freeze set: whole backbone (frozeBackbone ablation,
+    README.md:132) or the faster_rcnn frozen stages (stem+layer1 default,
+    torchvision trainable_backbone_layers=3)."""
+    if mc.freeze_backbone:
+        return ("backbone",)
+    if mc.family == "faster_rcnn" and mc.backbone_frozen_stages > 0:
+        from heltondetection_tpu.models.backbones import \
+            frozen_stage_prefixes
+        return frozen_stage_prefixes(mc.backbone or "resnet50",
+                                     mc.backbone_frozen_stages)
+    return ()
 
 
 def _forward_for_eval(cfg: ExperimentConfig, model, variables):
@@ -242,8 +258,7 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                         weight_decay=cfg.train.weight_decay,
                         final_lr_frac=cfg.train.final_lr_frac,
                         grad_clip=cfg.train.grad_clip,
-                        frozen_prefixes=(("backbone",) if
-                                         cfg.model.freeze_backbone else ()))
+                        frozen_prefixes=_frozen_prefixes(cfg.model))
 
     is_rcnn = cfg.model.family == "faster_rcnn"
     if is_rcnn:

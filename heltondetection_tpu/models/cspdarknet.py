@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,23 +39,30 @@ class CSPDarknet(nn.Module):
     include_c2: bool = False   # also return the stride-4 feature — needed
     # when CSPDarknet backs a FasterRCNN FPN (the reference's
     # timm_cspdarknet swap, README.md:120)
+    norm_eval: bool = False    # BN in running-stats mode during training
+    # (mmdet norm_eval; detection fine-tune default of the FasterRCNN
+    # lineage — see models/resnet.py)
+    frozen_stages: int = 0     # 1 = stem..c3_1 stop-gradient (mmdet-style)
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         w, d = self.width_multiple, self.depth_multiple
         dt = self.dtype
+        bt = train and not self.norm_eval   # BN mode (DropBlock keeps train)
         # stem: 6x6 stride-2 conv, pad 2 (v6.0+)
-        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, train)
-        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, train)
-        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, train)
-        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, train)
-        c3 = C3(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, train)
-        x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, train)
-        c4 = C3(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, train)
-        x = ConvBnAct(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, train)
-        x = C3(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, train)
-        c5 = SPPF(scaled(1024, w), 5, dtype=dt, name="sppf")(x, train)
+        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, bt)
+        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, bt)
+        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, bt)
+        if self.frozen_stages >= 1:
+            c2 = jax.lax.stop_gradient(c2)
+        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, bt)
+        c3 = C3(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, bt)
+        x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, bt)
+        c4 = C3(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, bt)
+        x = ConvBnAct(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, bt)
+        x = C3(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, bt)
+        c5 = SPPF(scaled(1024, w), 5, dtype=dt, name="sppf")(x, bt)
         if self.dropblock_p > 0:
             from heltondetection_tpu.models.dropblock import DropBlock
             db = DropBlock(self.dropblock_p, name="dropblock")

@@ -71,6 +71,13 @@ class RCNNConfig(NamedTuple):
     # (reference DDP_dropBlock0.5 ablation, README.md:97)
     roi_levels: int = 4        # pyramid levels the box head pools from;
     # 1 = the reference's "P2" variants (head uses only P2, README.md:65)
+    backbone_norm_eval: bool = True   # FrozenBN during training — the
+    # torchvision FasterRCNN (FrozenBatchNorm2d) / mmdet (norm_eval=True)
+    # default for pretrained-backbone fine-tuning. False = full SyncBN
+    # training (for from-scratch runs).
+    backbone_frozen_stages: int = 1   # stem+layer1 stop-gradient —
+    # torchvision trainable_backbone_layers=3 / mmdet frozen_stages=1
+    # default. 0 trains the whole backbone.
 
 
 STRIDES = (4, 8, 16, 32, 64)            # P2..P6
@@ -91,14 +98,18 @@ class RPNHead(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray]):
         conv = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
                        name="conv")
-        cls = nn.Conv(A_PER_CELL, (1, 1), dtype=jnp.float32, name="cls")
-        reg = nn.Conv(A_PER_CELL * 4, (1, 1), dtype=jnp.float32, name="reg")
+        # predictor 1x1s run in the compute dtype too (params stay f32):
+        # an f32 cast of the full hidden maps costs a (B,HW,256) f32
+        # materialization per level; outputs are cast to f32 for the
+        # decode/loss math instead
+        cls = nn.Conv(A_PER_CELL, (1, 1), dtype=self.dtype, name="cls")
+        reg = nn.Conv(A_PER_CELL * 4, (1, 1), dtype=self.dtype, name="reg")
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
             b = t.shape[0]
-            logits.append(cls(t.astype(jnp.float32)).reshape(b, -1))
-            deltas.append(reg(t.astype(jnp.float32)).reshape(b, -1, 4))
+            logits.append(cls(t).astype(jnp.float32).reshape(b, -1))
+            deltas.append(reg(t).astype(jnp.float32).reshape(b, -1, 4))
         return jnp.concatenate(logits, 1), jnp.concatenate(deltas, 1)
 
 
@@ -154,8 +165,10 @@ class FasterRCNN(nn.Module):
     def setup(self):
         from heltondetection_tpu.models.backbones import build_backbone
         # flax setup() derives the submodule name from the attribute
-        self.backbone = build_backbone(self.cfg.backbone, dtype=self.dtype,
-                                       module_name=None)
+        self.backbone = build_backbone(
+            self.cfg.backbone, dtype=self.dtype, module_name=None,
+            norm_eval=self.cfg.backbone_norm_eval,
+            frozen_stages=self.cfg.backbone_frozen_stages)
         if self.cfg.neck == "fpn":
             self.neck = FPN(256, dtype=self.dtype, extra_pool=True,
                             name="neck")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -90,17 +91,27 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     dropblock_p: float = 0.0   # DropBlock on C3..C5 (reference backbone
     # regularization ablation, README.md:131-132)
+    norm_eval: bool = False    # mmdet ResNet(norm_eval=True) / torchvision
+    # FrozenBatchNorm2d: BN always uses running stats, even in training —
+    # the detection-fine-tune default of the reference's lineage. Also much
+    # faster on TPU: the per-BN batch-stat reduce+re-read passes vanish.
+    frozen_stages: int = 0     # mmdet frozen_stages / torchvision
+    # trainable_backbone_layers: 1 = stem+layer1 frozen (stop_gradient —
+    # skips their backward entirely, not just the optimizer update)
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         dt = self.dtype
+        bn_train = train and not self.norm_eval
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=dt, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                          epsilon=1e-5, dtype=dt, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 1:
+            x = jax.lax.stop_gradient(x)
         outs = []
         widths = (64, 128, 256, 512)
         blk = Bottleneck if self.block == "bottleneck" else BasicBlock
@@ -109,7 +120,9 @@ class ResNet(nn.Module):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 down = bi == 0 and (self.block == "bottleneck" or si > 0)
                 x = blk(w, stride=stride, downsample=down,
-                        dtype=dt, name=f"layer{si + 1}_{bi}")(x, train)
+                        dtype=dt, name=f"layer{si + 1}_{bi}")(x, bn_train)
+            if si + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             outs.append(x)
         if self.dropblock_p > 0:
             from heltondetection_tpu.models.dropblock import DropBlock

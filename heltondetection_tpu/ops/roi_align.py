@@ -125,22 +125,66 @@ def _quad_flat(feats, c: int) -> jnp.ndarray:
                            axis=0)
 
 
-def _mlra_weighted_gather(feats, idx, w00, w01, w10, w11, wrow):
-    """Weighted 4-tap quad-row gather; plain autodiff. A hand-written VJP
-    scattering each tap directly into the unshifted pyramid (4 scatters of
-    c-wide rows at idx + {0, 1, wrow, wrow+1}) was measured SLOWER (54 ms
-    vs 34 ms of the FasterRCNN 832² b8 train step): TPU scatter-add cost is
-    row-count-bound, so quadrupling the update rows loses more than the 4×
-    narrower rows save — the same asymmetry that motivates the quad-shift
-    layout forward. Autodiff's backward (one wide (R,4c) scatter + the
-    rolls' adjoint) keeps the row-efficient shape. ``wrow`` (per-row level
-    width) is unused here but kept so the two formulations stay drop-in
-    interchangeable for future re-measurement."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _wgather_pool(shape, dtype_name, ss, flat, idx, w4):
+    """Gather quad rows at ``idx`` (R,), weight the four taps by ``w4``
+    (R, 4, with any 1/ss pooling scale pre-folded in), and sum each group
+    of ``ss`` consecutive rows → (R/ss, c) pooled bins."""
+    c = flat.shape[-1] // 4
+    rows = flat[idx]                                       # (R, 4c)
+    w = (rows[:, 0 * c:1 * c] * w4[:, 0:1] +
+         rows[:, 1 * c:2 * c] * w4[:, 1:2] +
+         rows[:, 2 * c:3 * c] * w4[:, 2:3] +
+         rows[:, 3 * c:4 * c] * w4[:, 3:4])                # (R, c)
+    return w.reshape(-1, ss, c).sum(axis=1, dtype=w.dtype)
+
+
+def _wgather_pool_fwd(shape, dtype_name, ss, flat, idx, w4):
+    out = _wgather_pool(shape, dtype_name, ss, flat, idx, w4)
+    return out, (idx, w4)
+
+
+def _wgather_pool_bwd(shape, dtype_name, ss, res, g):
+    idx, w4 = res
+    dtype = jnp.dtype(dtype_name)
+    nb, c = g.shape
+    # the (R, 4c) scatter-update rows are rank-1 per tap: w4[t] ⊗ g[bin(t)].
+    # Building them as ONE broadcast-multiply over (nb, ss, 4, c) (then a
+    # layout-preserving reshape to (R, 4c)) reads only w4 (R·4) and the
+    # per-BIN cotangent g (nb·c ≈ 51 MB) while writing the 1.6 GB update
+    # tensor once. Autodiff at a per-tap cut instead broadcast g to taps
+    # (a relayout pass) and built the updates in a 4-output multiply
+    # fusion + a separate concat pass — two extra full sweeps, ~9 ms of
+    # the FasterRCNN 832² b8 train step.
+    upd = (w4.reshape(nb, ss, 4, 1).astype(dtype) *
+           g[:, None, None, :].astype(dtype))
+    upd = upd.reshape(nb * ss, 4 * c)
+    d_flat = jnp.zeros(shape, dtype).at[idx].add(upd)
+    # weight cotangents are structurally dead in this framework: the rois
+    # (and so ly/lx/valid) are always stop-gradient'd in training and
+    # undifferentiated at inference — returning zeros skips autodiff's
+    # rows·g reductions over the gathered tensor
+    return d_flat, None, jnp.zeros_like(w4)
+
+
+_wgather_pool.defvjp(_wgather_pool_fwd, _wgather_pool_bwd)
+
+
+def _mlra_weighted_gather(feats, idx, w4, ss: int):
+    """Weighted 4-tap quad-row gather + ss-contiguous bin pooling. A hand-
+    written VJP scattering each tap directly into the unshifted pyramid (4
+    scatters of c-wide rows at idx + {0, 1, wrow, wrow+1}) was measured
+    SLOWER (54 ms vs 34 ms of the FasterRCNN 832² b8 train step): TPU
+    scatter-add cost is row-count-bound, so quadrupling the update rows
+    loses more than the 4× narrower rows save — the same asymmetry that
+    motivates the quad-shift layout forward. The backward keeps autodiff's
+    shape (one wide (R,4c) scatter + the rolls' adjoint through
+    _quad_flat) but builds the update rows in one pass from the per-bin
+    cotangent (see _wgather_pool_bwd)."""
     c = feats[0].shape[-1]
     flat = _quad_flat(feats, c)
-    rows = flat[idx]                                       # (R, 4c)
-    return (rows[:, 0 * c:1 * c] * w00 + rows[:, 1 * c:2 * c] * w01 +
-            rows[:, 2 * c:3 * c] * w10 + rows[:, 3 * c:4 * c] * w11)
+    return _wgather_pool(flat.shape, jnp.dtype(flat.dtype).name, ss, flat,
+                         idx, w4)
 
 
 def _roi_levels(rois: jnp.ndarray, num_levels: int, canonical_level: int,
@@ -226,12 +270,19 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         xs = x1q[:, None] + g[None, :] * rw[:, None]
 
     n = rois.shape[0]
-    os_ = out_size * s
-    yy = jnp.broadcast_to(ys[:, :, None], (n, os_, os_))
-    xx = jnp.broadcast_to(xs[:, None, :], (n, os_, os_))
-    h_r = r_h[:, None, None]
-    w_r = r_w[:, None, None]
-    base_r = r_base[:, None, None]
+    # bin-major tap order (bin_y, bin_x, sub_y, sub_x): the s·s taps of a
+    # bin land in CONTIGUOUS gather rows, so the final tap mean/max is a
+    # contiguous-group row reduce — the previous y-major order needed a
+    # strided (n,7,s,7,s,c) 6-D reduce that cost a full relayout pass of
+    # the gather output (~2.6 ms/step of the FasterRCNN 832² b8 train step)
+    t = out_size * out_size * s * s
+    ysb = ys.reshape(n, out_size, 1, s, 1)
+    xsb = xs.reshape(n, 1, out_size, 1, s)
+    yy = jnp.broadcast_to(ysb, (n, out_size, out_size, s, s)).reshape(n, t)
+    xx = jnp.broadcast_to(xsb, (n, out_size, out_size, s, s)).reshape(n, t)
+    h_r = r_h[:, None]
+    w_r = r_w[:, None]
+    base_r = r_base[:, None]
 
     if method == "align":
         valid = (yy > -1.0) & (yy < h_r) & (xx > -1.0) & (xx < w_r)
@@ -253,24 +304,26 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
         # (..., 4, c) instead forces a full relayout pass of the gather
         # output — measured 11.3 ms of the 100 ms FasterRCNN 832² b8 batch,
         # plus a slower 6-D multiply-reduce.
-        r = n * os_ * os_
+        r = n * t
         dt = feats[0].dtype
         # weight/reduce in the feature dtype (bf16 on TPU): the tap tensor
         # is the big operand, and halving its elementwise traffic matters
         # more than the ≤2⁻⁸ relative weight rounding (pooled features are
-        # averages of 4·s² taps; parity tests bound the error)
-        w00 = ((1 - ly) * (1 - lx) * valid).reshape(r, 1).astype(dt)
-        w01 = ((1 - ly) * lx * valid).reshape(r, 1).astype(dt)
-        w10 = (ly * (1 - lx) * valid).reshape(r, 1).astype(dt)
-        w11 = (ly * lx * valid).reshape(r, 1).astype(dt)
-        wrow = jnp.broadcast_to(wi, (n, os_, os_)).reshape(r)
-        out = _mlra_weighted_gather(tuple(feats), idx.reshape(r),
-                                    w00, w01, w10, w11, wrow)
-        out = out.reshape(n, out_size, s, out_size, s, c)  # row-dim split
-        return out.mean(axis=(2, 4)).astype(jnp.float32)
+        # averages of 4·s² taps; parity tests bound the error). The 1/s²
+        # bin-mean scale is pre-folded into the tap weights, so the pooled
+        # bins come straight out of the gather op (and stay in dt — an f32
+        # pooled materialization doubled the (B·R, t, c) HBM traffic).
+        inv = 1.0 / (s * s)
+        w4 = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                        ly * (1 - lx), ly * lx], axis=-1)
+        w4 = (w4 * (valid[..., None] * inv)).reshape(r, 4).astype(dt)
+        out = _mlra_weighted_gather(tuple(feats), idx.reshape(r), w4,
+                                    s * s)
+        return out.reshape(n, out_size, out_size, c)
 
     ycl = jnp.clip(yy, 0.0, h_r - 1.0).astype(jnp.int32)
     xcl = jnp.clip(xx, 0.0, w_r - 1.0).astype(jnp.int32)
-    idx = base_r + ycl * r_w.astype(jnp.int32)[:, None, None] + xcl
-    vals = flat[idx.reshape(n, -1)].reshape(n, os_, os_, c)
-    return vals.reshape(n, out_size, s, out_size, s, c).max(axis=(2, 4))
+    idx = base_r + ycl * r_w.astype(jnp.int32)[:, None] + xcl
+    vals = flat[idx.reshape(n, -1)]                        # (n·t, c)
+    vals = vals.reshape(n, out_size * out_size, s * s, c)
+    return vals.max(axis=2).reshape(n, out_size, out_size, c)

@@ -40,9 +40,13 @@ def make_optimizer(base_lr: float = 1e-3, *, total_steps: int = 10000,
                    b1: float = 0.9, b2: float = 0.999,
                    frozen_prefixes: tuple = ()
                    ) -> optax.GradientTransformation:
-    """``frozen_prefixes``: top-level param-tree keys to freeze (e.g.
-    ("backbone",) for the reference's frozeBackbone ablation,
-    README.md:132) — their updates are zeroed."""
+    """``frozen_prefixes``: string prefixes of the "/"-joined param path to
+    freeze — updates (incl. AdamW weight decay) are zeroed. ("backbone",)
+    freezes the whole backbone (the reference's frozeBackbone ablation,
+    README.md:132); ("backbone/stem_", "backbone/layer1_") freezes
+    stem+layer1 (torchvision trainable_backbone_layers=3 / mmdet
+    frozen_stages=1 — pair with RCNNConfig.backbone_frozen_stages, which
+    stop-gradients the same stages so their backward is skipped)."""
     sched = warmup_cosine(base_lr, total_steps, warmup_steps, final_lr_frac)
     parts = []
     if grad_clip is not None:
@@ -50,11 +54,15 @@ def make_optimizer(base_lr: float = 1e-3, *, total_steps: int = 10000,
     parts.append(optax.adamw(sched, b1=b1, b2=b2,
                              weight_decay=weight_decay, mask=_decay_mask))
     if frozen_prefixes:
-        import jax
+        import jax.tree_util as jtu
 
         def label(params):
-            return {k: ("frozen" if k in frozen_prefixes else "train")
-                    for k in params}
+            def lab(path, _):
+                joined = "/".join(getattr(p, "key", str(p)) for p in path)
+                return ("frozen" if any(joined.startswith(pref)
+                                        for pref in frozen_prefixes)
+                        else "train")
+            return jtu.tree_map_with_path(lab, params)
         return optax.multi_transform(
             {"train": optax.chain(*parts), "frozen": optax.set_to_zero()},
             label)

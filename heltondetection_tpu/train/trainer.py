@@ -56,6 +56,23 @@ def ema_decay_schedule(step, base: float = 0.9999, tau: float = 2000.0):
     return base * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
 
 
+def _overlay_stats(old, new):
+    """Overlay mutated batch_stats onto the previous tree. With
+    backbone_norm_eval (the RCNN default) the backbone BNs never mutate, so
+    ``new`` is empty or covers only the neck's BNs — replacing the whole
+    tree would drop the backbone's running stats."""
+    if new is None:
+        return old
+    if not isinstance(new, dict) or not isinstance(old, dict):
+        return new
+    if not new:
+        return old
+    out = dict(old)
+    for k, v in new.items():
+        out[k] = _overlay_stats(old.get(k), v)
+    return out
+
+
 def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
                          ) -> Callable:
     """Two-stage FasterRCNN train step (same TrainState contract as the
@@ -86,8 +103,9 @@ def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
                 state.ema_params, new_params)
         else:
             new_ema = state.ema_params
-        new_state = TrainState(new_params, new_stats, new_opt,
-                               state.step + 1, new_ema)
+        new_state = TrainState(new_params,
+                               _overlay_stats(state.batch_stats, new_stats),
+                               new_opt, state.step + 1, new_ema)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

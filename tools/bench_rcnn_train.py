@@ -23,7 +23,7 @@ step = jax.jit(make_rcnn_train_step(model, tx, cfg))
 rng = np.random.default_rng(0)
 x1 = rng.uniform(0, S - 80, (B, M, 2)); wh = rng.uniform(16, 80, (B, M, 2))
 batch = {
-    "image": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+    "image": jnp.asarray(rng.integers(0, 255, (B, S, S, 3)).astype(np.uint8)),  # production contract: u8 batches, /255 fused in-step
     "gt_boxes_xyxy": jnp.asarray(
         np.concatenate([x1, x1 + wh], -1).astype(np.float32)),
     "gt_cls": jnp.asarray(rng.integers(0, 80, (B, M)).astype(np.int32)),
