@@ -129,13 +129,28 @@ class TrainLoader(_LoaderBase):
     KEYS = ("image", "gt_boxes", "gt_cls", "gt_mask")
 
     def __init__(self, pipeline, batch_size: int, *, seed: int = 0,
-                 num_workers: int = 8, prefetch: int = 4, keys=None):
+                 num_workers: int = 8, prefetch: int = 4, keys=None,
+                 shard=(0, 1)):
         self.pipe = pipeline
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.keys = keys or self.KEYS
+        # (process_id, process_count) — the DistributedSampler analog:
+        # every process draws the SAME (seed, epoch) permutation and takes
+        # its contiguous slice of each global batch, so the union of the
+        # per-process slices is exactly the single-process global batch
+        pid, nproc = shard
+        if batch_size % nproc:
+            raise ValueError(f"batch_size {batch_size} must divide by "
+                             f"process_count {nproc}")
+        self._shard_lo = pid * (batch_size // nproc)
+        self._shard_hi = self._shard_lo + batch_size // nproc
+
+    def _batch_idxs(self, order, bi: int):
+        return order[bi * self.batch_size:
+                     (bi + 1) * self.batch_size][self._shard_lo:self._shard_hi]
 
     def steps_per_epoch(self) -> int:
         return len(self.pipe) // self.batch_size
@@ -160,15 +175,14 @@ class TrainLoader(_LoaderBase):
 
             def batches():
                 for bi in range(n_batches):
-                    idxs = order[bi * self.batch_size:
-                                 (bi + 1) * self.batch_size]
-                    yield self.pipe.sample_batch(idxs, epoch, pool)
+                    yield self.pipe.sample_batch(self._batch_idxs(order, bi),
+                                                 epoch, pool)
 
             yield from _prefetched(batches(), self.prefetch)
             return
 
         def make_batch(bi: int) -> Dict[str, Any]:
-            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            idxs = self._batch_idxs(order, bi)
             samples = [self.pipe.sample(int(i), epoch) for i in idxs]
             batch = _stack(samples, keys)
             return batch
@@ -183,9 +197,8 @@ class TrainLoader(_LoaderBase):
         # per-batch task would serialize the batch's samples on one thread
         with ThreadPoolExecutor(self.num_workers) as pool:
             def submit_batch(bi):
-                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
                 return [pool.submit(self.pipe.sample, int(i), epoch)
-                        for i in idxs]
+                        for i in self._batch_idxs(order, bi)]
 
             pending = [submit_batch(bi)
                        for bi in range(min(self.prefetch, n_batches))]

@@ -29,6 +29,17 @@ from heltondetection_tpu.utils.cocoeval import DetEval, format_summary
 from heltondetection_tpu.utils.log import TBWriter, get_logger
 
 
+class _NullTB:
+    """TensorBoard sink for non-zero ranks (the reference logs rank-0-only
+    under DDP, SURVEY.md §3.1)."""
+
+    def scalars(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def build_dataset(dc, split: str = "train"):
     from heltondetection_tpu.data.readers import (CachedDataset, COCODataset,
                                                   DOTADataset, YOLODataset)
@@ -200,8 +211,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                                                    make_train_step)
     from heltondetection_tpu.train.yolo_loss import YoloLossConfig
 
+    # multi-host bootstrap FIRST (the reference's torchrun process-group
+    # init, SURVEY.md §3.1): a no-op on a single host; on a pod/cluster it
+    # makes jax.devices() span every host so create_mesh() below is global
+    from heltondetection_tpu.parallel.mesh import init_distributed
+    init_distributed()
+    pid, nproc = jax.process_index(), jax.process_count()
     logger = get_logger(log_file=os.path.join(cfg.log_dir, "train.log"))
-    tb = TBWriter(cfg.log_dir)
+    tb = TBWriter(cfg.log_dir) if pid == 0 else _NullTB()
     ds = build_dataset(cfg.data, "train")
     nc = ds.num_classes or cfg.model.num_classes
     cfg.model.num_classes = nc
@@ -228,7 +245,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                              seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers,
                              keys=("images4", "boxes4", "cls4", "mask4",
-                                   "mosaic4"))
+                                   "mosaic4"),
+                             shard=(pid, nproc))
     else:
         pipe = None
         if cfg.train.native_loader:
@@ -249,7 +267,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                                  max_boxes=cfg.data.max_boxes,
                                  seed=cfg.train.seed)
         loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
-                             num_workers=cfg.train.num_workers)
+                             num_workers=cfg.train.num_workers,
+                             shard=(pid, nproc))
     steps_per_epoch = max(loader.steps_per_epoch(), 1)
     total_steps = steps_per_epoch * cfg.train.epochs
     tx = make_optimizer(cfg.train.lr, total_steps=total_steps,
@@ -317,9 +336,31 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     if cfg.train.pretrain_ckpt:  # transfer init (README.md:79)
         params = ckpt_io.load_params_for_transfer(cfg.train.pretrain_ckpt,
                                                   state.params)
-        state = state._replace(params=params, ema_params=params)
+        # seed EMA only when EMA is on: with ema=False the step never
+        # updates ema_params, and eval/export prefer them when present —
+        # an unconditional seed would score the untrained transfer init
+        state = state._replace(
+            params=params,
+            ema_params=params if state.ema_params is not None else None)
         logger.info("loaded transfer weights from %s",
                     cfg.train.pretrain_ckpt)
+
+    if (cfg.model.family == "faster_rcnn"
+            and (cfg.model.backbone_norm_eval
+                 or cfg.model.backbone_frozen_stages > 0)
+            and not cfg.train.backbone_pretrain
+            and not cfg.train.pretrain_ckpt):
+        # the FrozenBN + frozen-stages defaults implement the lineage's
+        # PRETRAINED-fine-tune semantics (torchvision/mmdet); without any
+        # pretrained init they would freeze a RANDOM stem/layer1 and pin
+        # BNs to init running stats (mean 0, var 1) — silently much worse
+        logger.warning(
+            "faster_rcnn is training FROM SCRATCH but backbone_norm_eval=%s/"
+            "backbone_frozen_stages=%d assume a pretrained backbone: set "
+            "train.backbone_pretrain (torchvision ResNet .pth via "
+            "utils/torch_convert) or, for from-scratch runs, set "
+            "model.backbone_norm_eval=False and backbone_frozen_stages=0",
+            cfg.model.backbone_norm_eval, cfg.model.backbone_frozen_stages)
 
     start_epoch = 0
     if resume and ckpt_io.latest_step(cfg.ckpt_dir) is not None:
@@ -339,7 +380,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
         mesh = create_mesh()
         state = replicate(state, mesh)
-        logger.info("data-parallel over %d devices", n_dev)
+        logger.info("data-parallel over %d devices (%d processes)",
+                    n_dev, nproc)
+    elif nproc > 1:
+        # multi-process REQUIRES the global mesh: each process only holds
+        # a batch slice, there is no unsharded fallback
+        raise ValueError(
+            f"multi-host run ({nproc} processes) needs batch_size "
+            f"({cfg.train.batch_size}) divisible by device count ({n_dev})")
 
     logger.info("training %s: %d epochs x %d steps", cfg.name,
                 cfg.train.epochs, steps_per_epoch)
@@ -396,6 +444,12 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                     "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
 
         last = epoch == cfg.train.epochs - 1
+        # rank-0-only ckpt + eval (the reference's DDP pattern): the state
+        # is replicated, so process 0's local copy is the full state; eval
+        # runs on process-local devices only, so other ranks skipping it
+        # cannot deadlock any collective
+        if jax.process_index() != 0:
+            continue
         if (epoch + 1) % cfg.train.ckpt_interval == 0 or last:
             host_state = jax.device_get(state)
             ckpt_io.save_state(cfg.ckpt_dir, host_state, int(state.step))

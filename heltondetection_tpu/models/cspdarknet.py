@@ -50,10 +50,14 @@ class CSPDarknet(nn.Module):
         w, d = self.width_multiple, self.depth_multiple
         dt = self.dtype
         bt = train and not self.norm_eval   # BN mode (DropBlock keeps train)
+        # frozen stage's BNs always run on running stats (no stat updates)
+        # even when norm_eval=False — mmdet _freeze_stages semantics; see
+        # models/resnet.py for the rationale
+        bt0 = bt and self.frozen_stages < 1
         # stem: 6x6 stride-2 conv, pad 2 (v6.0+)
-        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, bt)
-        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, bt)
-        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, bt)
+        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, bt0)
+        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, bt0)
+        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, bt0)
         if self.frozen_stages >= 1:
             c2 = jax.lax.stop_gradient(c2)
         x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, bt)

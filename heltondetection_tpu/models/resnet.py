@@ -104,9 +104,14 @@ class ResNet(nn.Module):
                  ) -> Tuple[jnp.ndarray, ...]:
         dt = self.dtype
         bn_train = train and not self.norm_eval
+        # mmdet _freeze_stages semantics: a frozen stage's BNs are ALWAYS
+        # in eval mode (running stats, no stat updates) even when
+        # norm_eval=False — otherwise the frozen stage's eval-time function
+        # would drift under its pinned weights as stats keep updating
+        stem_bn = bn_train and self.frozen_stages < 1
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=dt, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not stem_bn, momentum=0.9,
                          epsilon=1e-5, dtype=dt, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -120,7 +125,8 @@ class ResNet(nn.Module):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 down = bi == 0 and (self.block == "bottleneck" or si > 0)
                 x = blk(w, stride=stride, downsample=down,
-                        dtype=dt, name=f"layer{si + 1}_{bi}")(x, bn_train)
+                        dtype=dt, name=f"layer{si + 1}_{bi}")(
+                            x, bn_train and si + 1 > self.frozen_stages)
             if si + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             outs.append(x)

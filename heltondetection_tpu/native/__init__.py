@@ -55,14 +55,24 @@ def _compile(cmd_tail, out: str, timeout: int) -> Optional[str]:
 def _prune_stale(current: str) -> None:
     """After a successful build, drop sibling artifacts of the same stem
     with a different content hash (plus orphaned .tmp.<pid> files from
-    SIGKILLed builds) so edits don't accumulate .so files forever."""
+    SIGKILLed builds) so edits don't accumulate .so files forever.
+
+    Only artifacts older than 10 minutes are touched: a CONCURRENT process
+    at a different source revision may have just built (or be mid-build
+    with a live .tmp) — deleting its fresh file would silently downgrade
+    it to the Python fallback. A >10-min-old .so belonging to a live
+    process is safe too: that process already dlopened it (the mapping
+    survives unlink)."""
     import glob
+    import time
+    cutoff = time.time() - 600.0
     stem = os.path.basename(current).split("-", 1)[0]
     for p in glob.glob(os.path.join(_HERE, f"{stem}-*.so")) + \
             glob.glob(os.path.join(_HERE, f"{stem}-*.so.tmp.*")):
         if os.path.abspath(p) != os.path.abspath(current):
             try:
-                os.unlink(p)
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
             except OSError:
                 pass  # in use elsewhere / already gone
 

@@ -160,10 +160,10 @@ def _wgather_pool_bwd(shape, dtype_name, ss, res, g):
            g[:, None, None, :].astype(dtype))
     upd = upd.reshape(nb * ss, 4 * c)
     d_flat = jnp.zeros(shape, dtype).at[idx].add(upd)
-    # weight cotangents are structurally dead in this framework: the rois
-    # (and so ly/lx/valid) are always stop-gradient'd in training and
-    # undifferentiated at inference — returning zeros skips autodiff's
-    # rows·g reductions over the gathered tensor
+    # weight cotangents are structurally dead: multilevel_roi_align
+    # stop_gradients its rois (so ly/lx/valid carry no gradient by
+    # CONSTRUCTION, not just by convention) — returning zeros skips
+    # autodiff's rows·g reductions over the gathered tensor
     return d_flat, None, jnp.zeros_like(w4)
 
 
@@ -224,6 +224,10 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides, *,
       rois: (N, 4) xyxy input-image coords.
     Returns (N, out, out, C).
     """
+    # rois are NOT differentiated through (torchvision roi_align likewise
+    # provides no roi gradients); make that contract structural rather than
+    # a silent zero from _wgather_pool_bwd's dead weight cotangent
+    rois = jax.lax.stop_gradient(rois)
     n_lvl = len(feats)
     target = _roi_levels(rois, n_lvl, canonical_level, canonical_size)
 

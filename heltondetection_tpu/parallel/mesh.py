@@ -42,9 +42,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """device_put every array in the batch pytree with its leading dim
-    sharded over `data`. Leading dim must divide the mesh size."""
+    """Shard every array in the batch pytree with its leading dim split
+    over `data`.
+
+    Single-process: arrays hold the GLOBAL batch → plain device_put.
+    Multi-process (the DDP/DistributedSampler analog): each process holds
+    its LOCAL slice of the global batch (global_batch // process_count
+    rows, see ``TrainLoader(shard=...)``) and the slices are assembled
+    into one global array — the jitted step then runs the same SPMD
+    program as the single-process path, gradient all-reduce riding
+    ICI/DCN. Global leading dim must divide the mesh size."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

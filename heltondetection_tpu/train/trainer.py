@@ -57,10 +57,12 @@ def ema_decay_schedule(step, base: float = 0.9999, tau: float = 2000.0):
 
 
 def _overlay_stats(old, new):
-    """Overlay mutated batch_stats onto the previous tree. With
-    backbone_norm_eval (the RCNN default) the backbone BNs never mutate, so
-    ``new`` is empty or covers only the neck's BNs — replacing the whole
-    tree would drop the backbone's running stats."""
+    """Overlay mutated batch_stats onto the previous tree. On current flax
+    (0.12) ``mutable=['batch_stats']`` returns the FULL collection even
+    when backbone_norm_eval leaves the backbone BNs untouched, so this is
+    a structural no-op today — kept as a defensive merge in case a future
+    flax / partial-apply path returns only the mutated subtree (replacing
+    the whole tree would then drop the backbone's running stats)."""
     if new is None:
         return old
     if not isinstance(new, dict) or not isinstance(old, dict):

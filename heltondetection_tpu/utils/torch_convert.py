@@ -140,12 +140,7 @@ def convert_resnet(state_dict: Mapping) -> Tuple[Dict, Dict]:
     """
     P: Dict = {}
     S: Dict = {}
-
-    def put(tree, dotted, leaf):
-        parts = dotted.split("/")
-        for p in parts[:-1]:
-            tree = tree.setdefault(p, {})
-        tree[parts[-1]] = leaf
+    put = _put
 
     for key, val in state_dict.items():
         if key.startswith("fc.") or key.endswith("num_batches_tracked"):
@@ -175,13 +170,17 @@ def convert_resnet(state_dict: Mapping) -> Tuple[Dict, Dict]:
     return P, S
 
 
-def _put_bn(P: Dict, S: Dict, prefix: str, field: str, arr) -> None:
-    def put(tree, dotted, leaf):
-        parts = dotted.split("/")
-        for p in parts[:-1]:
-            tree = tree.setdefault(p, {})
-        tree[parts[-1]] = leaf
+def _put(tree, dotted, leaf):
+    """Insert ``leaf`` at slash-separated path ``dotted``, creating nested
+    dicts along the way."""
+    parts = dotted.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = leaf
 
+
+def _put_bn(P: Dict, S: Dict, prefix: str, field: str, arr) -> None:
+    put = _put
     if field == "weight":
         put(P, f"{prefix}/scale", arr)
     elif field == "bias":

@@ -128,6 +128,25 @@ def test_train_loader_shapes_and_determinism(coco_ds):
                                   batches1[1]["gt_boxes"])
 
 
+def test_train_loader_shards_partition_global_batch(coco_ds):
+    """The DistributedSampler analog: per-process shard slices of every
+    batch concatenate to EXACTLY the single-process global batch (same
+    seed/epoch permutation), so multi-host training sees the same data."""
+    pipe = TrainPipeline(coco_ds, 64, mosaic_p=0.5, max_boxes=32, seed=1)
+    global_batches = list(TrainLoader(pipe, batch_size=4, seed=1,
+                                      num_workers=1).epoch(2))
+    shard_batches = [list(TrainLoader(pipe, batch_size=4, seed=1,
+                                      num_workers=1,
+                                      shard=(p, 2)).epoch(2))
+                     for p in range(2)]
+    for bi, gb in enumerate(global_batches):
+        assert shard_batches[0][bi]["image"].shape[0] == 2
+        for k in gb:
+            cat = np.concatenate([shard_batches[p][bi][k]
+                                  for p in range(2)], axis=0)
+            np.testing.assert_array_equal(gb[k], cat)
+
+
 def test_random_affine_identity_and_jitter():
     rng_id = np.random.default_rng(0)
     img = rng_id.integers(0, 255, (64, 64, 3)).astype(np.uint8)

@@ -50,10 +50,70 @@ WORKER = textwrap.dedent("""
 """)
 
 
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    repo = sys.argv[3]
+    sys.path.insert(0, os.path.join(repo, "tests"))
+
+    from heltondetection_tpu.parallel.mesh import (create_mesh,
+                                                   init_distributed,
+                                                   replicate, replicated,
+                                                   shard_batch)
+    assert init_distributed(coordinator_address=f"localhost:{port}",
+                            num_processes=2, process_id=proc_id)
+    assert jax.device_count() == 2 and jax.local_device_count() == 1
+
+    import jax.numpy as jnp
+    from test_trainer import _synthetic_batch, _tiny_model
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import (create_train_state,
+                                                   make_train_step)
+    from heltondetection_tpu.train.yolo_loss import YoloLossConfig
+
+    model = _tiny_model(4)
+    cfg = YoloLossConfig(num_classes=4, img_size=64)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1, grad_clip=None)
+    state = create_train_state(model, jax.random.PRNGKey(0), 64, tx)
+
+    mesh = create_mesh()                    # 2-device global mesh, 1/process
+    state_r = replicate(state, mesh)
+    # DDP data path: each rank holds ONLY its half of the global batch
+    full = _synthetic_batch(bsz=4)
+    local = jax.tree_util.tree_map(
+        lambda x: x[proc_id * 2:(proc_id + 1) * 2], full)
+    batch = shard_batch(local, mesh)        # assembles the global array
+
+    step = jax.jit(make_train_step(model, tx, cfg))
+    s, m = step(state_r, batch)
+    chk = jax.jit(
+        lambda ps: sum(jnp.sum(jnp.abs(l)).astype(jnp.float64)
+                       for l in jax.tree_util.tree_leaves(ps)),
+        out_shardings=replicated(mesh))(s.params)
+    print(f"RESULT loss={float(m['total']):.10e} chk={float(chk):.12e}",
+          flush=True)
+""")
+
+
+def _free_port() -> str:
+    # bind-to-0 so concurrent/repeated runs never collide on a fixed port
+    # (the coordinator binds after we close, a benign TOCTOU for a test)
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_cpu_cluster(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = "12655"
+    port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -68,3 +128,63 @@ def test_two_process_cpu_cluster(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
     assert "worker 0 ok" in outs[0]
     assert "worker 1 ok" in outs[1]
+
+
+def test_two_process_training_equivalence(tmp_path):
+    """The DDP-equivalence property ACROSS PROCESSES: two ranks, each
+    holding only its half of the global batch, run the real jitted YOLO
+    train step over a 2-process global mesh and must produce the same loss
+    and updated params as a plain single-process step on the full batch
+    (same tolerance story as test_trainer's 1-vs-8-device test — this
+    additionally exercises `shard_batch`'s
+    make_array_from_process_local_data path and cross-process state
+    replication, i.e. the code run_train takes on a pod)."""
+    import re
+
+    import jax
+    import numpy as np
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(TRAIN_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), port, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    results = []
+    for out in outs:
+        m = re.search(r"RESULT loss=(\S+) chk=(\S+)", out)
+        assert m, out
+        results.append((float(m.group(1)), float(m.group(2))))
+    # both ranks fetched the same replicated global arrays → identical
+    assert results[0] == results[1], results
+
+    # single-process reference: full batch, no mesh
+    import jax.numpy as jnp
+
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import (create_train_state,
+                                                   make_train_step)
+    from heltondetection_tpu.train.yolo_loss import YoloLossConfig
+    from test_trainer import _synthetic_batch, _tiny_model
+
+    model = _tiny_model(4)
+    cfg = YoloLossConfig(num_classes=4, img_size=64)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1, grad_clip=None)
+    state = create_train_state(model, jax.random.PRNGKey(0), 64, tx)
+    s, m = jax.jit(make_train_step(model, tx, cfg))(state,
+                                                    _synthetic_batch(bsz=4))
+    chk = float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                    for l in jax.tree_util.tree_leaves(s.params)))
+    loss, wchk = results[0]
+    assert abs(loss - float(m["total"])) < 1e-3, (loss, float(m["total"]))
+    np.testing.assert_allclose(wchk, chk, rtol=1e-4)
