@@ -59,3 +59,46 @@ def test_yolov5_with_resnet_backbone():
     boxes, obj, cls = decode_full(outs, 5)
     assert boxes.shape[1] == (8 ** 2 + 4 ** 2 + 2 ** 2) * 3
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_register_custom_backbone_end_to_end():
+    """The timm-wrap analog (README.md:120): a user-defined flax backbone
+    registered by name becomes config-addressable and drives a full
+    detector forward — no framework edits."""
+    import flax.linen as nn
+
+    from heltondetection_tpu.models.backbones import (frozen_stage_prefixes,
+                                                      register_backbone)
+    from heltondetection_tpu.models.yolov5 import YOLOv5, decode_full
+
+    class TinyNet(nn.Module):
+        dtype: object = jnp.float32
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            outs = []
+            for i, ch in enumerate((8, 16, 24, 32)):
+                x = nn.Conv(ch, (3, 3), strides=(4, 4) if i == 0 else (2, 2),
+                            dtype=self.dtype, name=f"s{i}")(x)
+                x = nn.relu(x)
+                outs.append(x)
+            return tuple(outs)
+
+    register_backbone(
+        "tinynet",
+        lambda dtype, dropblock_p, module_name, norm_eval, frozen_stages:
+            TinyNet(dtype=dtype, name=module_name),
+        frozen_prefixes=lambda n, root: [f"{root}/s{i}/" for i in range(n)])
+
+    m = YOLOv5(num_classes=3, width_multiple=0.25, backbone="tinynet")
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert "s0" in v["params"]["backbone"]      # custom tree under the name
+    boxes, obj, cls = decode_full(m.apply(v, x, train=False), 3)
+    assert boxes.shape[1] == (8 ** 2 + 4 ** 2 + 2 ** 2) * 3
+    assert np.isfinite(np.asarray(boxes)).all()
+    assert frozen_stage_prefixes("tinynet", 2) == ("backbone/s0/",
+                                                   "backbone/s1/")
+    # built-ins without a registered prefix fn / frozen_stages=0 stay empty
+    assert frozen_stage_prefixes("tinynet", 0) == ()
