@@ -136,7 +136,14 @@ def _wgather_pool(shape, dtype_name, ss, flat, idx, w4):
          rows[:, 1 * c:2 * c] * w4[:, 1:2] +
          rows[:, 2 * c:3 * c] * w4[:, 2:3] +
          rows[:, 3 * c:4 * c] * w4[:, 3:4])                # (R, c)
-    return w.reshape(-1, ss, c).sum(axis=1, dtype=w.dtype)
+    # ss-contiguous bin sum as a stride-ss row reduce_window: the rank-3
+    # reshape formulation (w.reshape(-1, ss, c).sum(1)) materialized the
+    # weighted taps through a T(8,128)→T(4,128) relayout before reducing
+    # (~4 ms of the FasterRCNN 832² b8 infer batch); reduce_window keeps
+    # the reduce in the producer's layout (measured 82.3→78.9 ms infer,
+    # 152.5→150.6 ms train)
+    return jax.lax.reduce_window(w, jnp.zeros((), w.dtype), jax.lax.add,
+                                 (ss, 1), (ss, 1), "VALID")
 
 
 def _wgather_pool_fwd(shape, dtype_name, ss, flat, idx, w4):
