@@ -18,7 +18,13 @@ config = ExperimentConfig(
     ),
     model=ModelConfig(family="faster_rcnn", backbone="cspdarknet_l",
                       num_classes=80, img_size=832, neck="pafpn_v8",
-                      head="decoupled", dtype="bfloat16"),
+                      head="decoupled", dtype="bfloat16",
+                      # from-scratch semantics: no pretrained CSPDarknet
+                      # ingestion exists (convert_resnet is torchvision-
+                      # ResNet only), so the pretrained-fine-tune defaults
+                      # (FrozenBN + frozen stem) would freeze a RANDOM
+                      # stage — train the whole backbone instead
+                      backbone_norm_eval=False, backbone_frozen_stages=0),
     train=TrainConfig(epochs=36, batch_size=16, lr=2e-4, mosaic_p=0.5),
     eval=EvalConfig(batch_size=8, conf_thres=0.05, iou_thres=0.5,
                     max_det=100, multi_label=False),

@@ -345,23 +345,6 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         logger.info("loaded transfer weights from %s",
                     cfg.train.pretrain_ckpt)
 
-    if (cfg.model.family == "faster_rcnn"
-            and (cfg.model.backbone_norm_eval
-                 or cfg.model.backbone_frozen_stages > 0)
-            and not cfg.train.backbone_pretrain
-            and not cfg.train.pretrain_ckpt):
-        # the FrozenBN + frozen-stages defaults implement the lineage's
-        # PRETRAINED-fine-tune semantics (torchvision/mmdet); without any
-        # pretrained init they would freeze a RANDOM stem/layer1 and pin
-        # BNs to init running stats (mean 0, var 1) — silently much worse
-        logger.warning(
-            "faster_rcnn is training FROM SCRATCH but backbone_norm_eval=%s/"
-            "backbone_frozen_stages=%d assume a pretrained backbone: set "
-            "train.backbone_pretrain (torchvision ResNet .pth via "
-            "utils/torch_convert) or, for from-scratch runs, set "
-            "model.backbone_norm_eval=False and backbone_frozen_stages=0",
-            cfg.model.backbone_norm_eval, cfg.model.backbone_frozen_stages)
-
     start_epoch = 0
     if resume and ckpt_io.latest_step(cfg.ckpt_dir) is not None:
         try:
@@ -374,6 +357,44 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
             # num_classes) — start fresh rather than crash mid-resume
             logger.warning("ignoring incompatible checkpoint in %s: %s",
                            cfg.ckpt_dir, e)
+
+    if (cfg.model.family == "faster_rcnn" and start_epoch == 0
+            and (cfg.model.backbone_norm_eval
+                 or cfg.model.backbone_frozen_stages > 0)
+            and not cfg.train.backbone_pretrain
+            and not cfg.train.pretrain_ckpt):
+        # the FrozenBN + frozen-stages defaults implement the lineage's
+        # PRETRAINED-fine-tune semantics (torchvision/mmdet); without any
+        # pretrained init they would freeze a RANDOM stem/layer1 and pin
+        # BNs to init running stats (mean 0, var 1) — silently much worse
+        # (checked after resume: a restored run is not from scratch)
+        logger.warning(
+            "faster_rcnn is training FROM SCRATCH but backbone_norm_eval=%s/"
+            "backbone_frozen_stages=%d assume a pretrained backbone: set "
+            "train.backbone_pretrain (torchvision ResNet .pth via "
+            "utils/torch_convert) or, for from-scratch runs, set "
+            "model.backbone_norm_eval=False and backbone_frozen_stages=0",
+            cfg.model.backbone_norm_eval, cfg.model.backbone_frozen_stages)
+
+    if nproc > 1:
+        # cross-rank resume agreement: every process restored independently
+        # above — a per-host ckpt_dir, or one rank hitting the incompatible-
+        # checkpoint fallback while another restores, would dispatch global
+        # train programs from DIFFERENT epochs (a collective hang) or
+        # replicate() divergent params as if identical (silent divergence).
+        # Fail loudly instead.
+        from jax.experimental import multihost_utils
+        fp = np.asarray(
+            [float(start_epoch), float(state.step),
+             float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                       for l in jax.tree_util.tree_leaves(state.params)))],
+            np.float64)
+        all_fp = multihost_utils.process_allgather(fp)
+        if not np.array_equal(all_fp, np.broadcast_to(all_fp[0], all_fp.shape)):
+            raise ValueError(
+                "multi-host resume disagreement: per-rank (start_epoch, "
+                f"step, param-checksum) = {all_fp.tolist()} — ranks must "
+                "restore the SAME checkpoint (shared ckpt_dir)")
 
     n_dev = len(jax.devices())
     mesh = None
@@ -400,7 +421,6 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     if os.environ.get("HELTON_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
-    best = {}
     try:
         best = _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh,
                              rng, tb, logger, start_epoch, steps_per_epoch,
@@ -423,12 +443,21 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
         for batch in loader.epoch(epoch):
             # images stay uint8 until inside the jitted step (the train
             # steps normalize fused; device_aug normalizes in its own path)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if is_rcnn:
-                from heltondetection_tpu.ops.boxes import cxcywh_to_xyxy
-                batch["gt_boxes_xyxy"] = cxcywh_to_xyxy(batch.pop("gt_boxes"))
+                # box convert on HOST numpy: a jnp convert here would put
+                # the boxes on the default device only to pull them back in
+                # shard_batch (multi-process) or re-place them (mesh)
+                bb = np.asarray(batch.pop("gt_boxes"), np.float32)
+                half = bb[..., 2:] * 0.5
+                batch["gt_boxes_xyxy"] = np.concatenate(
+                    [bb[..., :2] - half, bb[..., :2] + half], axis=-1)
             if mesh is not None:
+                # numpy straight into the sharded placement: ONE host→device
+                # transfer (a jnp.asarray first would stage through the
+                # default device, tripling multi-process transfer traffic)
                 batch = shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if is_rcnn:
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, sub)

@@ -73,15 +73,41 @@ def init_distributed(coordinator_address: Optional[str] = None,
     spans every host and `create_mesh()` builds the global mesh (gradient
     all-reduce rides ICI within a slice, DCN/Gloo across hosts).
 
-    With no arguments it auto-detects a cluster environment (TPU pod
-    metadata / SLURM vars) and is a no-op on a single host. Explicit
-    arguments bootstrap an ad-hoc cluster (tested via a real 2-process CPU
-    cluster in tests/test_multihost.py). Returns True when a multi-process
-    runtime is active."""
+    With no arguments it initialises ONLY when the environment carries
+    explicit cluster markers (SLURM/OMPI/torchrun-style vars, a
+    coordinator address, TPU-pod worker lists) and is an immediate no-op
+    otherwise: `jax.distributed.initialize()`'s own auto-detection can
+    BLOCK for minutes on hosts without cloud metadata (it probes the GCE
+    metadata service), which would hang every single-host `run_train`.
+    Explicit arguments bootstrap an ad-hoc cluster (tested via a real
+    2-process CPU cluster in tests/test_multihost.py). Returns True when
+    a multi-process runtime is active."""
+    import os
+    if coordinator_address is None and num_processes is None:
+        if jax.process_count() > 1:
+            return True                       # already initialised
+        markers = ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
+                   "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                   "CLOUD_TPU_TASK_ID")
+        if not any(os.environ.get(m) for m in markers):
+            return False                      # plain single host
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError):
+        # A FAILED bootstrap of an intended cluster must not degrade to N
+        # independent full-data trainings (each host would then train the
+        # whole dataset and overwrite the shared ckpt_dir): re-raise when
+        # the caller explicitly asked for a cluster, or when the ambient
+        # environment says this is a multi-task launch — unless the
+        # runtime is in fact already initialised with the expected size
+        # (repeat init_distributed calls raise RuntimeError benignly).
+        expected = num_processes or int(
+            os.environ.get("SLURM_NTASKS", "0")
+            or os.environ.get("NPROC", "0") or 0)
+        if expected > 1 and jax.process_count() != expected:
+            raise
         return jax.process_count() > 1  # single-process / already initialised
     return jax.process_count() > 1

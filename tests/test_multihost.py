@@ -188,3 +188,29 @@ def test_two_process_training_equivalence(tmp_path):
     loss, wchk = results[0]
     assert abs(loss - float(m["total"])) < 1e-3, (loss, float(m["total"]))
     np.testing.assert_allclose(wchk, chk, rtol=1e-4)
+
+
+def test_init_distributed_failed_bootstrap_raises(monkeypatch):
+    """A FAILED bootstrap of an explicitly requested cluster must raise —
+    swallowing it would degrade a pod job to N independent full-data
+    trainings that overwrite each other's checkpoints (review finding)."""
+    import jax
+    import pytest
+
+    from heltondetection_tpu.parallel import mesh as pmesh
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    # explicit 2-process request + failed init + process_count()==1 → raise
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed(coordinator_address="localhost:1",
+                               num_processes=2, process_id=0)
+    # ambient multi-task environment (SLURM) → also raise
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed()
+    # plain single-host auto-detect → benign no-op
+    monkeypatch.delenv("SLURM_NTASKS")
+    assert pmesh.init_distributed() is False

@@ -107,7 +107,8 @@ def bench_train(family: str, img_size: int, batch: int, n_images: int,
         print(f"  {family} epoch {epoch}: {n / t_epoch[-1]:.1f} img/s "
               f"({t_epoch[-1]:.1f}s, {steps} steps x b{batch})"
               + ("  [warmup+compile]" if epoch == 0 else ""), flush=True)
-    warm = steps * batch / min(t_epoch[1:])
+    # epochs=1 has no post-compile epoch; fall back to the only sample
+    warm = steps * batch / min(t_epoch[1:] if len(t_epoch) > 1 else t_epoch)
     print(f"E2E TRAIN {family} {img_size}^2 b{batch}: {warm:.1f} img/s "
           f"steady-state (loader+step overlapped)")
     loader.close()
