@@ -68,6 +68,11 @@ class TrainConfig:
     decode_in_pool: bool = False  # decode JPEGs inside the C++ pool
     # (libjpeg; no EXIF rotation — leave off for EXIF-oriented datasets)
     ema: bool = True
+    spatial_shards: int = 1   # shard the image H axis over this many mesh
+    # columns (parallel/spatial.py): a (devices/sp × sp) data×spatial mesh
+    # lets resolutions beyond one chip's HBM train (beyond-reference;
+    # SURVEY.md §5 long-context analog). YOLO family; img_size must divide
+    # spatial_shards*32 so every pyramid level splits evenly
     focal: str = "none"               # none | root | root_cls (README.md:117)
     label_smoothing: float = 0.0
     seed: int = 0

@@ -398,7 +398,34 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
     n_dev = len(jax.devices())
     mesh = None
-    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+    sp = cfg.train.spatial_shards
+    if sp > 1:
+        # 2-D data×spatial mesh: image H sharded over `spatial` (GSPMD
+        # halo-exchanges conv boundaries over ICI) — resolutions past one
+        # chip's HBM train without model changes (SURVEY.md §5 analog)
+        from heltondetection_tpu.parallel.spatial import create_spatial_mesh
+        if cfg.model.family != "yolov5":
+            raise ValueError("spatial_shards currently supports the yolov5 "
+                             "family (RCNN RoI gathers are unvalidated "
+                             "under spatial sharding)")
+        if device_aug:
+            raise ValueError("spatial_shards composes with the host loader "
+                             "path, not device_aug (tile layouts differ)")
+        if n_dev % sp or cfg.train.batch_size % (n_dev // sp):
+            raise ValueError(
+                f"spatial_shards={sp} needs devices ({n_dev}) divisible by "
+                f"it and batch_size ({cfg.train.batch_size}) divisible by "
+                f"the data axis ({n_dev // sp})")
+        if cfg.model.img_size % (sp * 32):
+            raise ValueError(
+                f"img_size {cfg.model.img_size} must divide by "
+                f"spatial_shards*32 = {sp * 32} so every pyramid level "
+                "splits evenly")
+        mesh = create_spatial_mesh(n_dev // sp, sp)
+        state = replicate(state, mesh)
+        logger.info("data-parallel x spatial over %dx%d devices "
+                    "(%d processes)", n_dev // sp, sp, nproc)
+    elif n_dev > 1 and cfg.train.batch_size % n_dev == 0:
         mesh = create_mesh()
         state = replicate(state, mesh)
         logger.info("data-parallel over %d devices (%d processes)",

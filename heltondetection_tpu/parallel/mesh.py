@@ -51,13 +51,31 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     rows, see ``TrainLoader(shard=...)``) and the slices are assembled
     into one global array — the jitted step then runs the same SPMD
     program as the single-process path, gradient all-reduce riding
-    ICI/DCN. Global leading dim must divide the mesh size."""
+    ICI/DCN. Global leading dim must divide the mesh size.
+
+    On a 2-D data×spatial mesh (parallel/spatial.py), the NHWC ``image``
+    entry additionally shards its H axis over ``spatial``; every other
+    entry replicates over the spatial axis (P('data') on a 2-D mesh)."""
     sh = batch_sharding(mesh, axis_name)
+    spatial = "spatial" in mesh.axis_names
+
+    def sharding_for(k, x):
+        if spatial and k == "image" and getattr(x, "ndim", 0) == 4:
+            return NamedSharding(mesh, P(axis_name, "spatial"))
+        return sh
+
+    if not isinstance(batch, dict):
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sh, np.asarray(x)), batch)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-            batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+        return {k: jax.make_array_from_process_local_data(
+            sharding_for(k, np.asarray(v)), np.asarray(v))
+            for k, v in batch.items()}
+    return {k: jax.device_put(v, sharding_for(k, v))
+            for k, v in batch.items()}
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
