@@ -132,6 +132,16 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
         model = build_model(cfg.model, nc)
         variables = _load_eval_variables(cfg, model)
     multi_label = cfg.eval.multi_label and cfg.model.family == "yolov5"
+    # multi-chip eval: shard each val batch over the data mesh (all local
+    # chips participate — beats the reference's rank-0-only DDP eval).
+    # Single-process only: under multi-host, eval runs on rank 0 alone and
+    # a global mesh would hang waiting for the other ranks' dispatches.
+    mesh = None
+    n_dev = len(jax.devices())
+    if (jax.process_count() == 1 and n_dev > 1
+            and cfg.eval.batch_size % n_dev == 0):
+        mesh = create_mesh()
+        logger.info("eval sharded over %d devices", n_dev)
     if cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True):
         # fused packed-head serve path (ops/postprocess.py): ~1.5× the
         # decode_full route's throughput, same pycocotools verdicts
@@ -144,12 +154,13 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                                       approx=getattr(cfg.eval, "approx",
                                                      False),
                                       multi_label=multi_label)
-        ev = Evaluator(None, nc, step_fn=step)
+        ev = Evaluator(None, nc, step_fn=step, mesh=mesh)
     else:
         fwd = _forward_for_eval(cfg, model, variables)
         ev = Evaluator(fwd, nc, conf_thres=cfg.eval.conf_thres,
                        iou_thres=cfg.eval.iou_thres,
-                       max_det=cfg.eval.max_det, multi_label=multi_label)
+                       max_det=cfg.eval.max_det, multi_label=multi_label,
+                       mesh=mesh)
     det = DetEval(nc)
     ds.gt_for_eval(det)
     eval_pipe = None

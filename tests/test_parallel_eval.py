@@ -41,3 +41,42 @@ def test_sharded_eval_matches_single():
     s8 = run(create_mesh(8))
     for k in ("AP", "AP50", "AR100"):
         assert abs(s1[k] - s8[k]) < 1e-9, (k, s1[k], s8[k])
+
+
+def test_run_eval_uses_mesh_when_divisible(tmp_path):
+    """run_eval wires the data mesh itself when eval.batch_size divides the
+    device count (multi-chip CLI eval — beats the reference's rank-0-only
+    DDP eval)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_data import build_coco_dataset
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.engine.runner import (build_model, run_eval)
+    from heltondetection_tpu.models.yolov5 import build_yolov5
+
+    root = str(tmp_path)
+    ann, imgs = build_coco_dataset(root, n_images=8, hw=(96, 128),
+                                   num_classes=4)
+    cfg = ExperimentConfig(
+        name="tiny_eval_mesh", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco", train_ann=ann, train_imgs=imgs,
+                        val_ann=ann, val_imgs=imgs, max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(epochs=1, batch_size=8, num_workers=2),
+        eval=EvalConfig(batch_size=8, conf_thres=0.05, max_det=32),
+        test=TestConfig())
+    import jax
+    import jax.numpy as jnp
+    model = build_model(cfg.model, 4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           train=False)
+    stats = run_eval(cfg, variables=variables, model=model, verbose=False)
+    # untrained net: mAP ≈ 0 but the sharded loop must complete and report
+    assert "AP" in stats and stats["AP"] >= 0.0
