@@ -48,6 +48,10 @@ class ModelConfig:
     # set False for from-scratch SyncBN training)
     backbone_frozen_stages: int = 1   # stem+layer1 stop-gradient
     # (torchvision trainable_backbone_layers=3; faster_rcnn only)
+    remat: bool = False               # jax.checkpoint the backbone stages:
+    # the backward re-runs each stage instead of holding its activations —
+    # ~1/3 extra backbone FLOPs for O(boundary) activation memory. The TPU
+    # answer to HBM-bound high-res/large-batch training; math is identical
 
 
 @dataclass

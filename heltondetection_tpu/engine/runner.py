@@ -67,7 +67,8 @@ def build_model(mc, num_classes: int):
         return YOLOv5(num_classes=num_classes, depth_multiple=d,
                       width_multiple=w, dtype=dtype,
                       dropblock_p=mc.dropblock_p,
-                      backbone=mc.backbone or "cspdarknet")
+                      backbone=mc.backbone or "cspdarknet",
+                      remat=getattr(mc, "remat", False))
     if mc.family == "faster_rcnn":
         from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
                                                             RCNNConfig)
@@ -78,7 +79,8 @@ def build_model(mc, num_classes: int):
                           roi_levels=mc.roi_levels,
                           backbone=mc.backbone or "resnet50",
                           backbone_norm_eval=mc.backbone_norm_eval,
-                          backbone_frozen_stages=mc.backbone_frozen_stages)
+                          backbone_frozen_stages=mc.backbone_frozen_stages,
+                          remat=getattr(mc, "remat", False))
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
 

@@ -41,8 +41,8 @@ def register_backbone(name: str,
                       ) -> None:
     """Register a custom backbone under ``name`` (config-addressable).
 
-    ``factory(dtype, dropblock_p, module_name, norm_eval, frozen_stages)``
-    must return a flax module with the pyramid contract in the module
+    ``factory(dtype, dropblock_p, module_name, norm_eval, frozen_stages,
+    remat)`` must return a flax module with the pyramid contract in the module
     docstring. ``frozen_prefixes(frozen_stages, root)`` optionally returns
     the param-path prefixes the optimizer should freeze when
     ``frozen_stages`` > 0 (omit it if the backbone doesn't freeze).
@@ -58,7 +58,8 @@ def backbone_names():
 
 def build_backbone(name: str, dtype: Any = jnp.float32,
                    dropblock_p: float = 0.0, module_name: str = "backbone",
-                   norm_eval: bool = False, frozen_stages: int = 0):
+                   norm_eval: bool = False, frozen_stages: int = 0,
+                   remat: bool = False):
     """Instantiate a registered backbone module (not yet initialised).
 
     ``norm_eval``/``frozen_stages`` follow mmdet's ResNet knobs (BN in
@@ -69,9 +70,17 @@ def build_backbone(name: str, dtype: Any = jnp.float32,
         raise ValueError(
             f"unknown backbone {name!r}; registered: {backbone_names()}")
     factory, _ = _REGISTRY[name]
-    return factory(dtype=dtype, dropblock_p=dropblock_p,
-                   module_name=module_name, norm_eval=norm_eval,
-                   frozen_stages=frozen_stages)
+    kw = dict(dtype=dtype, dropblock_p=dropblock_p, module_name=module_name,
+              norm_eval=norm_eval, frozen_stages=frozen_stages)
+    try:
+        return factory(remat=remat, **kw)
+    except TypeError:
+        # factories registered before the remat knob existed: fine as long
+        # as nobody asked for remat
+        if remat:
+            raise ValueError(
+                f"backbone {name!r} factory does not accept remat=True")
+        return factory(**kw)
 
 
 def frozen_stage_prefixes(name: str, frozen_stages: int,
@@ -88,10 +97,12 @@ def frozen_stage_prefixes(name: str, frozen_stages: int,
 
 
 def _resnet_factory(stages, block):
-    def make(dtype, dropblock_p, module_name, norm_eval, frozen_stages):
+    def make(dtype, dropblock_p, module_name, norm_eval, frozen_stages,
+             remat=False):
         return ResNet(stage_sizes=stages, block=block, dtype=dtype,
                       dropblock_p=dropblock_p, norm_eval=norm_eval,
-                      frozen_stages=frozen_stages, name=module_name)
+                      frozen_stages=frozen_stages, remat=remat,
+                      name=module_name)
     return make
 
 
@@ -103,11 +114,12 @@ def _resnet_frozen(frozen_stages: int, root: str):
 def _csp_factory(variant):
     d, w = VARIANTS[variant]
 
-    def make(dtype, dropblock_p, module_name, norm_eval, frozen_stages):
+    def make(dtype, dropblock_p, module_name, norm_eval, frozen_stages,
+             remat=False):
         return CSPDarknet(depth_multiple=d, width_multiple=w, dtype=dtype,
                           dropblock_p=dropblock_p, include_c2=True,
                           norm_eval=norm_eval, frozen_stages=frozen_stages,
-                          name=module_name)
+                          remat=remat, name=module_name)
     return make
 
 

@@ -43,11 +43,22 @@ class CSPDarknet(nn.Module):
     # (mmdet norm_eval; detection fine-tune default of the FasterRCNN
     # lineage — see models/resnet.py)
     frozen_stages: int = 0     # 1 = stem..c3_1 stop-gradient (mmdet-style)
+    remat: bool = False        # jax.checkpoint each stage: backward re-runs
+    # the stage forward instead of holding its activations — trades ~1/3
+    # extra FLOPs for O(stage-boundary) activation memory, the TPU answer
+    # to HBM-bound high-resolution training (identical math/params/grads)
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         w, d = self.width_multiple, self.depth_multiple
+        CBA, C3b, SPPFb = ConvBnAct, C3, SPPF
+        if self.remat:
+            # nn.remat is variable/param-transparent (same tree, same
+            # numbers); train is arg 2 counting self, and must be static
+            CBA = nn.remat(ConvBnAct, static_argnums=(2,))
+            C3b = nn.remat(C3, static_argnums=(2,))
+            SPPFb = nn.remat(SPPF, static_argnums=(2,))
         dt = self.dtype
         bt = train and not self.norm_eval   # BN mode (DropBlock keeps train)
         # frozen stage's BNs always run on running stats (no stat updates)
@@ -55,18 +66,18 @@ class CSPDarknet(nn.Module):
         # models/resnet.py for the rationale
         bt0 = bt and self.frozen_stages < 1
         # stem: 6x6 stride-2 conv, pad 2 (v6.0+)
-        x = ConvBnAct(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, bt0)
-        x = ConvBnAct(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, bt0)
-        c2 = C3(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, bt0)
+        x = CBA(scaled(64, w), 6, 2, pad=2, dtype=dt, name="stem")(x, bt0)
+        x = CBA(scaled(128, w), 3, 2, dtype=dt, name="down1")(x, bt0)
+        c2 = C3b(scaled(128, w), depth(3, d), dtype=dt, name="c3_1")(x, bt0)
         if self.frozen_stages >= 1:
             c2 = jax.lax.stop_gradient(c2)
-        x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, bt)
-        c3 = C3(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, bt)
-        x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, bt)
-        c4 = C3(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, bt)
-        x = ConvBnAct(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, bt)
-        x = C3(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, bt)
-        c5 = SPPF(scaled(1024, w), 5, dtype=dt, name="sppf")(x, bt)
+        x = CBA(scaled(256, w), 3, 2, dtype=dt, name="down2")(c2, bt)
+        c3 = C3b(scaled(256, w), depth(6, d), dtype=dt, name="c3_2")(x, bt)
+        x = CBA(scaled(512, w), 3, 2, dtype=dt, name="down3")(c3, bt)
+        c4 = C3b(scaled(512, w), depth(9, d), dtype=dt, name="c3_3")(x, bt)
+        x = CBA(scaled(1024, w), 3, 2, dtype=dt, name="down4")(c4, bt)
+        x = C3b(scaled(1024, w), depth(3, d), dtype=dt, name="c3_4")(x, bt)
+        c5 = SPPFb(scaled(1024, w), 5, dtype=dt, name="sppf")(x, bt)
         if self.dropblock_p > 0:
             from heltondetection_tpu.models.dropblock import DropBlock
             db = DropBlock(self.dropblock_p, name="dropblock")

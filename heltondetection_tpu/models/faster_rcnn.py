@@ -78,6 +78,9 @@ class RCNNConfig(NamedTuple):
     backbone_frozen_stages: int = 1   # stem+layer1 stop-gradient —
     # torchvision trainable_backbone_layers=3 / mmdet frozen_stages=1
     # default. 0 trains the whole backbone.
+    remat: bool = False        # checkpoint the backbone blocks (see
+    # models/resnet.py): ~1/3 extra backbone FLOPs for O(block-boundary)
+    # activation memory — for HBM-bound high-resolution training
 
 
 STRIDES = (4, 8, 16, 32, 64)            # P2..P6
@@ -168,7 +171,8 @@ class FasterRCNN(nn.Module):
         self.backbone = build_backbone(
             self.cfg.backbone, dtype=self.dtype, module_name=None,
             norm_eval=self.cfg.backbone_norm_eval,
-            frozen_stages=self.cfg.backbone_frozen_stages)
+            frozen_stages=self.cfg.backbone_frozen_stages,
+            remat=self.cfg.remat)
         if self.cfg.neck == "fpn":
             self.neck = FPN(256, dtype=self.dtype, extra_pool=True,
                             name="neck")

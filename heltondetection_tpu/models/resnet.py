@@ -98,6 +98,10 @@ class ResNet(nn.Module):
     frozen_stages: int = 0     # mmdet frozen_stages / torchvision
     # trainable_backbone_layers: 1 = stem+layer1 frozen (stop_gradient —
     # skips their backward entirely, not just the optimizer update)
+    remat: bool = False        # jax.checkpoint each residual block: the
+    # backward re-runs the block forward instead of holding its
+    # activations — trades ~1/3 extra FLOPs for O(block-boundary)
+    # activation memory (HBM-bound high-res training; identical math)
 
     @nn.compact
     def __call__(self, x, train: bool = False
@@ -120,6 +124,10 @@ class ResNet(nn.Module):
         outs = []
         widths = (64, 128, 256, 512)
         blk = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:
+            # nn.remat is variable/param-transparent (same tree, same
+            # numbers); train is arg 2 counting self, and must be static
+            blk = nn.remat(blk, static_argnums=(2,))
         for si, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and si > 0) else 1

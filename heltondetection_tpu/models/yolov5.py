@@ -88,6 +88,9 @@ class YOLOv5(nn.Module):
     backbone: str = "cspdarknet"   # "cspdarknet" = the v6.1 default tied to
     # depth/width multiples; any models/backbones.py registry name swaps it
     # (reference capability README.md:8-9)
+    remat: bool = False   # checkpoint the backbone stages (see
+    # models/cspdarknet.py): ~1/3 extra backbone FLOPs for O(boundary)
+    # activation memory — for HBM-bound high-resolution training
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -115,11 +118,13 @@ class YOLOv5(nn.Module):
             backbone = CSPDarknet(self.depth_multiple, self.width_multiple,
                                   dtype=self.dtype,
                                   dropblock_p=self.dropblock_p,
+                                  remat=self.remat,
                                   name="backbone")
         else:
             from heltondetection_tpu.models.backbones import build_backbone
             backbone = build_backbone(self.backbone, dtype=self.dtype,
-                                      dropblock_p=self.dropblock_p)
+                                      dropblock_p=self.dropblock_p,
+                                      remat=self.remat)
         neck = PAFPNv5(self.depth_multiple, self.width_multiple,
                        dtype=self.dtype, name="neck")
         feats = neck(backbone(x, train)[-3:], train)
