@@ -72,6 +72,12 @@ class TrainConfig:
     decode_in_pool: bool = False  # decode JPEGs inside the C++ pool
     # (libjpeg; no EXIF rotation — leave off for EXIF-oriented datasets)
     ema: bool = True
+    grad_accum: int = 1       # micro-batch gradient accumulation: split
+    # each batch into this many micro-batches, scan them accumulating
+    # gradients, then apply ONE optimizer/EMA update — peak activation
+    # memory drops to one micro-batch's (effective batch sizes past one
+    # chip's HBM). batch_size must be divisible by it (and by
+    # devices*grad_accum under data parallelism)
     spatial_shards: int = 1   # shard the image H axis over this many mesh
     # columns (parallel/spatial.py): a (devices/sp × sp) data×spatial mesh
     # lets resolutions beyond one chip's HBM train (beyond-reference;

@@ -228,6 +228,10 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     # init, SURVEY.md §3.1): a no-op on a single host; on a pod/cluster it
     # makes jax.devices() span every host so create_mesh() below is global
     from heltondetection_tpu.parallel.mesh import init_distributed
+    accum = max(int(getattr(cfg.train, "grad_accum", 1)), 1)
+    if cfg.train.batch_size % accum:
+        raise ValueError(f"batch_size ({cfg.train.batch_size}) must be "
+                         f"divisible by grad_accum ({accum})")
     init_distributed()
     pid, nproc = jax.process_index(), jax.process_count()
     logger = get_logger(log_file=os.path.join(cfg.log_dir, "train.log"))
@@ -301,7 +305,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                            tx.init(v["params"]), jnp.zeros((), jnp.int32),
                            v["params"] if cfg.train.ema else None)
         step_fn = jax.jit(make_rcnn_train_step(model, tx, model.cfg,
-                                               use_ema=cfg.train.ema))
+                                               use_ema=cfg.train.ema,
+                                               accum_steps=accum))
     else:
         state = create_train_state(model,
                                    jax.random.PRNGKey(cfg.train.seed),
@@ -317,7 +322,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         import dataclasses
         train_model = dataclasses.replace(model, packed_train=True)
         base_step = make_train_step(train_model, tx, loss_cfg,
-                                    use_ema=cfg.train.ema)
+                                    use_ema=cfg.train.ema,
+                                    accum_steps=accum)
         if device_aug:
             from heltondetection_tpu.data.device_aug import \
                 device_augment_batch
@@ -449,6 +455,13 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         raise ValueError(
             f"multi-host run ({nproc} processes) needs batch_size "
             f"({cfg.train.batch_size}) divisible by device count ({n_dev})")
+    if mesh is not None and accum > 1 \
+            and (cfg.train.batch_size // accum) % mesh.shape["data"]:
+        # each scanned micro-batch must itself shard over the data axis
+        raise ValueError(
+            f"grad_accum={accum} micro-batches of "
+            f"{cfg.train.batch_size // accum} don't divide the data axis "
+            f"({mesh.shape['data']} devices)")
 
     logger.info("training %s: %d epochs x %d steps", cfg.name,
                 cfg.train.epochs, steps_per_epoch)

@@ -75,11 +75,56 @@ def _overlay_stats(old, new):
     return out
 
 
-def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
-                         ) -> Callable:
+def _accum_grads(loss_fn, params, batch_stats, batch, aux_of_micro,
+                 accum_steps: int):
+    """Micro-batch gradient accumulation via lax.scan (one jit program).
+
+    Splits the batch's leading dim into ``accum_steps`` micro-batches and
+    scans value_and_grad over them, SUMMING gradients — each micro-batch
+    loss is already batch-size-scaled (Ultralytics ``loss * bs`` semantics,
+    yolo_loss docstring), so the sum reproduces the full-batch gradient up
+    to per-micro-batch positive-count normalization (the same envelope as
+    the reference's per-GPU DDP loss). Peak activation memory drops to one
+    micro-batch's: the TPU lever for batch sizes past HBM on one chip.
+    BN stats chain through the scan carry (each micro-batch updates the
+    running stats, exactly like ``accum_steps`` real small-batch steps).
+    """
+    def body(carry, inp):
+        stats, gacc, lacc = carry
+        mb, i = inp
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, mb, aux_of_micro(i))
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+        lacc = {k: lacc[k] + metrics[k] for k in lacc}
+        return (new_stats, gacc, lacc), None
+
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
+                            *x.shape[1:]), batch)
+    # trace one micro-batch to learn the metrics keys (shapes are static)
+    mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+    _, (m0, _) = jax.eval_shape(
+        lambda p, s: loss_fn(p, s, mb0, aux_of_micro(jnp.zeros((), jnp.int32))),
+        params, batch_stats)
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zero_m = {k: jnp.zeros(()) for k in m0}
+    (new_stats, grads, msum), _ = jax.lax.scan(
+        body, (batch_stats, zero_g, zero_m),
+        (micro, jnp.arange(accum_steps)))
+    # per-term metrics are per-element means → report the micro-batch mean;
+    # "total" is batch-size-scaled → the sum matches the full-batch total
+    metrics = {k: (v if k == "total" else v / accum_steps)
+               for k, v in msum.items()}
+    return metrics, new_stats, grads
+
+
+def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True,
+                         accum_steps: int = 1) -> Callable:
     """Two-stage FasterRCNN train step (same TrainState contract as the
     YOLO step). batch adds nothing new: gt boxes arrive as xyxy pixels
-    in ``gt_boxes_xyxy``; a PRNG key drives proposal subsampling."""
+    in ``gt_boxes_xyxy``; a PRNG key drives proposal subsampling.
+    ``accum_steps`` > 1 scans micro-batches and accumulates gradients
+    before the single optimizer/EMA update (see :func:`_accum_grads`)."""
     from heltondetection_tpu.models.faster_rcnn import faster_rcnn_loss
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -93,9 +138,14 @@ def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
         return loss, (metrics, new_stats)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
+        if accum_steps > 1:
+            metrics, new_stats, grads = _accum_grads(
+                loss_fn, state.params, state.batch_stats, batch,
+                lambda i: jax.random.fold_in(rng, i), accum_steps)
+        else:
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if use_ema and state.ema_params is not None:
@@ -116,11 +166,13 @@ def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True
 
 
 def make_train_step(model, tx, loss_cfg: YoloLossConfig,
-                    use_ema: bool = True) -> Callable:
+                    use_ema: bool = True, accum_steps: int = 1) -> Callable:
     """Returns jittable ``train_step(state, batch) -> (state, metrics)``.
 
     batch: dict with ``image`` (B,S,S,3) float in [0,1], ``gt_boxes``
     (B,M,4) cxcywh pixels, ``gt_cls`` (B,M) int, ``gt_mask`` (B,M) bool.
+    ``accum_steps`` > 1 scans micro-batches and accumulates gradients
+    before the single optimizer/EMA update (see :func:`_accum_grads`).
     """
 
     base_key = jax.random.PRNGKey(0)
@@ -144,9 +196,16 @@ def make_train_step(model, tx, loss_cfg: YoloLossConfig,
         return loss, (metrics, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   state.step)
+        if accum_steps > 1:
+            # distinct dropout streams per micro-batch, disjoint from the
+            # k=1 path's per-step stream
+            metrics, new_stats, grads = _accum_grads(
+                loss_fn, state.params, state.batch_stats, batch,
+                lambda i: state.step * accum_steps + i, accum_steps)
+        else:
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if use_ema and state.ema_params is not None:
