@@ -72,15 +72,23 @@ def build_backbone(name: str, dtype: Any = jnp.float32,
     factory, _ = _REGISTRY[name]
     kw = dict(dtype=dtype, dropblock_p=dropblock_p, module_name=module_name,
               norm_eval=norm_eval, frozen_stages=frozen_stages)
+    # factories registered before the remat knob existed keep working:
+    # inspect the signature rather than catching TypeError (which would
+    # mask TypeErrors raised INSIDE a remat-aware factory)
+    import inspect
     try:
+        fparams = inspect.signature(factory).parameters
+        takes_remat = ("remat" in fparams or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in fparams.values()))
+    except (TypeError, ValueError):
+        takes_remat = True   # unintrospectable callable: assume current API
+    if takes_remat:
         return factory(remat=remat, **kw)
-    except TypeError:
-        # factories registered before the remat knob existed: fine as long
-        # as nobody asked for remat
-        if remat:
-            raise ValueError(
-                f"backbone {name!r} factory does not accept remat=True")
-        return factory(**kw)
+    if remat:
+        raise ValueError(
+            f"backbone {name!r} factory does not accept remat=True")
+    return factory(**kw)
 
 
 def frozen_stage_prefixes(name: str, frozen_stages: int,

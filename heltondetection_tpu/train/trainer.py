@@ -76,18 +76,34 @@ def _overlay_stats(old, new):
 
 
 def _accum_grads(loss_fn, params, batch_stats, batch, aux_of_micro,
-                 accum_steps: int):
+                 accum_steps: int, loss_is_batch_scaled: bool):
     """Micro-batch gradient accumulation via lax.scan (one jit program).
 
     Splits the batch's leading dim into ``accum_steps`` micro-batches and
-    scans value_and_grad over them, SUMMING gradients — each micro-batch
-    loss is already batch-size-scaled (Ultralytics ``loss * bs`` semantics,
-    yolo_loss docstring), so the sum reproduces the full-batch gradient up
-    to per-micro-batch positive-count normalization (the same envelope as
-    the reference's per-GPU DDP loss). Peak activation memory drops to one
+    scans value_and_grad over them, combining gradients so the result
+    reproduces the monolithic full-batch gradient:
+
+    * ``loss_is_batch_scaled=True`` (yolo_loss: Ultralytics ``loss * bs``
+      semantics — the total scales with batch size): micro-batch losses
+      SUM to the full-batch loss, so gradients are summed and the summed
+      "total" metric matches the full-batch total.
+    * ``loss_is_batch_scaled=False`` (faster_rcnn_loss: a batch MEAN):
+      the full-batch loss is the mean of micro-batch losses, so gradients
+      and every metric are averaged over the micro-batches.
+
+    Either way equality is exact only up to per-micro-batch normalization
+    internals (positive counts, sampling) — the same envelope as the
+    reference's per-GPU DDP loss. Peak activation memory drops to one
     micro-batch's: the TPU lever for batch sizes past HBM on one chip.
     BN stats chain through the scan carry (each micro-batch updates the
     running stats, exactly like ``accum_steps`` real small-batch steps).
+
+    Micro-batch i takes the INTERLEAVED rows ``i::accum_steps`` (not a
+    contiguous block): under a data mesh the batch is sharded contiguously
+    over its leading dim, so a contiguous block would live on only
+    1/accum_steps of the devices and GSPMD would all-to-all the whole
+    batch every step; strided rows keep every micro-batch evenly sharded
+    with only a device-local transpose.
     """
     def body(carry, inp):
         stats, gacc, lacc = carry
@@ -99,8 +115,9 @@ def _accum_grads(loss_fn, params, batch_stats, batch, aux_of_micro,
         return (new_stats, gacc, lacc), None
 
     micro = jax.tree_util.tree_map(
-        lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
-                            *x.shape[1:]), batch)
+        lambda x: jnp.moveaxis(
+            x.reshape(x.shape[0] // accum_steps, accum_steps,
+                      *x.shape[1:]), 1, 0), batch)
     # trace one micro-batch to learn the metrics keys (shapes are static)
     mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
     _, (m0, _) = jax.eval_shape(
@@ -111,10 +128,15 @@ def _accum_grads(loss_fn, params, batch_stats, batch, aux_of_micro,
     (new_stats, grads, msum), _ = jax.lax.scan(
         body, (batch_stats, zero_g, zero_m),
         (micro, jnp.arange(accum_steps)))
-    # per-term metrics are per-element means → report the micro-batch mean;
-    # "total" is batch-size-scaled → the sum matches the full-batch total
-    metrics = {k: (v if k == "total" else v / accum_steps)
-               for k, v in msum.items()}
+    if loss_is_batch_scaled:
+        # per-term metrics are per-element means → micro-batch mean;
+        # "total" is batch-size-scaled → the sum matches the full batch
+        metrics = {k: (v if k == "total" else v / accum_steps)
+                   for k, v in msum.items()}
+    else:
+        # mean-loss convention: average gradients and every metric
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        metrics = {k: v / accum_steps for k, v in msum.items()}
     return metrics, new_stats, grads
 
 
@@ -141,7 +163,8 @@ def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True,
         if accum_steps > 1:
             metrics, new_stats, grads = _accum_grads(
                 loss_fn, state.params, state.batch_stats, batch,
-                lambda i: jax.random.fold_in(rng, i), accum_steps)
+                lambda i: jax.random.fold_in(rng, i), accum_steps,
+                loss_is_batch_scaled=False)  # faster_rcnn_loss: batch mean
         else:
             (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,
@@ -197,11 +220,13 @@ def make_train_step(model, tx, loss_cfg: YoloLossConfig,
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if accum_steps > 1:
-            # distinct dropout streams per micro-batch, disjoint from the
-            # k=1 path's per-step stream
+            # per-micro-batch dropout keys; they enumerate the same integer
+            # stream as the k=1 path (fold_in(base_key, n)) — fine, since
+            # only one of the two paths runs in a given training run
             metrics, new_stats, grads = _accum_grads(
                 loss_fn, state.params, state.batch_stats, batch,
-                lambda i: state.step * accum_steps + i, accum_steps)
+                lambda i: state.step * accum_steps + i, accum_steps,
+                loss_is_batch_scaled=True)  # yolo_loss: loss * bs
         else:
             (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,

@@ -42,12 +42,16 @@ def _micro_batch(rng, m, img=64, nc=3, M=6):
 
 
 def _tile(batch, k):
+    # micro-batch i is the INTERLEAVED rows i::k (trainer._accum_grads —
+    # keeps micro-batches evenly sharded under the data mesh), so repeat
+    # each row k times consecutively: every micro-batch then equals the
+    # original batch exactly
     return jax.tree_util.tree_map(
-        lambda x: jnp.concatenate([x] * k, axis=0), batch)
+        lambda x: jnp.repeat(x, k, axis=0), batch)
 
 
 def test_accum_identical_microbatches_matches_monolithic():
-    """k tiled copies of one micro-batch: accumulated grads == the
+    """k interleaved copies of one micro-batch: accumulated grads == the
     monolithic step's grads on the tiled batch (identical data → identical
     BN normalization → the sum-of-losses decomposition is exact)."""
     from heltondetection_tpu.train.trainer import make_train_step
@@ -80,8 +84,11 @@ def test_accum_chains_bn_stats():
     rng = np.random.default_rng(1)
     b1 = _micro_batch(rng, 4)
     b2 = _micro_batch(rng, 4)
+    # rows alternate b1[j], b2[j] so the interleaved split (rows i::2)
+    # yields micro 0 == b1 and micro 1 == b2
     both = jax.tree_util.tree_map(
-        lambda x, y: jnp.concatenate([x, y], axis=0), b1, b2)
+        lambda x, y: jnp.stack([x, y], axis=1).reshape(
+            2 * x.shape[0], *x.shape[1:]), b1, b2)
 
     stepk = jax.jit(make_train_step(model, tx, cfg, use_ema=False,
                                     accum_steps=2))
@@ -124,6 +131,34 @@ def test_accum_composes_with_data_parallel_mesh():
                     jax.tree_util.tree_leaves(sm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    rtol=0)
+
+
+def test_accum_mean_convention_exact():
+    """loss_is_batch_scaled=False (the faster_rcnn convention: loss is a
+    batch MEAN): accumulated gradients must equal the full-batch gradient
+    EXACTLY on a deterministic quadratic toy loss — guards against the
+    k-times gradient inflation a plain sum would produce."""
+    from heltondetection_tpu.train.trainer import _accum_grads
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+    X = jnp.asarray(rng.normal(size=(8, 5)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    def loss_fn(params, stats, batch, aux):
+        pred = batch["x"] @ params
+        loss = jnp.mean((pred - batch["y"]) ** 2)   # batch mean
+        return loss, ({"total": loss}, stats)
+
+    full_grad = jax.grad(
+        lambda p: loss_fn(p, {}, {"x": X, "y": y}, None)[0])(w)
+    metrics, _, grads = _accum_grads(
+        loss_fn, w, {}, {"x": X, "y": y}, lambda i: None, 4,
+        loss_is_batch_scaled=False)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(full_grad),
+                               atol=1e-6, rtol=0)
+    full_loss = float(loss_fn(w, {}, {"x": X, "y": y}, None)[0])
+    assert float(metrics["total"]) == pytest.approx(full_loss, rel=1e-6)
 
 
 def test_rcnn_accum_step_runs_finite():
