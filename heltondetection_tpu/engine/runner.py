@@ -181,6 +181,10 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
     if verbose:
         logger.info("eval results for %s:\n%s", cfg.name,
                     format_summary(stats))
+        from heltondetection_tpu.utils.cocoeval import format_classwise
+        names = getattr(ds, "class_names", None) or cfg.data.class_names
+        logger.info("per-class AP (mmdet classwise lineage):\n%s",
+                    format_classwise(det.per_class_ap(), names))
         try:
             from heltondetection_tpu.utils.flops import model_complexity
             comp = model_complexity(model, variables, cfg.model.img_size)
@@ -474,12 +478,19 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     if os.environ.get("HELTON_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    # async ckpt writer (rank 0 only — the saver rank): epoch saves stage
+    # the host state and write on orbax's background thread while the next
+    # epochs train; close() below blocks until the last write committed
+    writer = ckpt_io.CheckpointWriter(cfg.ckpt_dir) \
+        if jax.process_index() == 0 else None
     try:
         best = _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh,
                              rng, tb, logger, start_epoch, steps_per_epoch,
-                             model)
+                             model, writer)
     finally:
         loader.close()
+        if writer is not None:
+            writer.close()
         if trace_dir:
             jax.profiler.stop_trace()
         tb.close()
@@ -487,7 +498,7 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
 
 def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
-                  logger, start_epoch, steps_per_epoch, model):
+                  logger, start_epoch, steps_per_epoch, model, writer=None):
     best: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
@@ -533,8 +544,10 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
         if jax.process_index() != 0:
             continue
         if (epoch + 1) % cfg.train.ckpt_interval == 0 or last:
+            # device_get snapshots the state to fresh host buffers, so the
+            # async write never races the next epoch's device updates
             host_state = jax.device_get(state)
-            ckpt_io.save_state(cfg.ckpt_dir, host_state, int(state.step))
+            writer.save(host_state, int(state.step))
         if (epoch + 1) % cfg.train.eval_interval == 0 or last:
             params = state.ema_params if state.ema_params is not None \
                 else state.params

@@ -28,6 +28,45 @@ def save_state(ckpt_dir: str, state: Any, step: int,
         mgr.wait_until_finished()
 
 
+class CheckpointWriter:
+    """Async checkpoint writer for the training loop: ONE persistent
+    CheckpointManager whose saves return once the host pytree is staged —
+    the directory write proceeds on orbax's background thread while the
+    next epochs train. ``save_state`` above opens/syncs/closes a manager
+    per call (right for one-shot tools); a periodic in-loop save would
+    stall the step loop for the full write each time. The next ``save``
+    (or ``close``) blocks until the previous write committed, so at most
+    one write is in flight and crash-consistency matches the sync path
+    (orbax commits atomically via tmp-dir rename either way).
+    """
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=True))
+
+    def save(self, state: Any, step: int) -> None:
+        """Stage ``state`` (host arrays) for step ``step`` and return;
+        blocks first if an earlier save is still writing."""
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        """Block until any in-flight write committed, then release."""
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self) -> "CheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -16,7 +16,7 @@ inherently ragged; the device produces the fixed-shape det arrays
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -263,8 +263,31 @@ class DetEval:
                         scores_out[t, :, k, a, m] = ss
         self._precision = precision
         self._recall = recall
+        self._cats = cats
         self._prep_cache.clear()   # free the per-(img,cat) IoU cache
         return precision, recall
+
+    def per_class_ap(self) -> Dict[int, Dict[str, float]]:
+        """Per-category AP/AP50 @[all|maxDets=100] — the mmdet lineage's
+        ``classwise=True`` table (the reference's eval stack is pycocotools
+        driven from mmdet-style tooling, README.md:61,161-164). Categories
+        with no gt anywhere stay -1, like pycocotools' masked means."""
+        if not hasattr(self, "_precision"):
+            self.accumulate()
+        p = self._precision   # (T, R, K, A, M)
+        a = list(AREA_RNG.keys()).index("all")
+        m = MAX_DETS.index(100)
+        t50 = int(np.argwhere(np.isclose(self.iou_thrs, 0.5))[0][0])
+        out: Dict[int, Dict[str, float]] = {}
+        for k, cat in enumerate(self._cats):
+            s = p[:, :, k, a, m]
+            v = s[s > -1]
+            s50 = s[t50][s[t50] > -1]
+            out[int(cat)] = {
+                "AP": float(np.mean(v)) if v.size else -1.0,
+                "AP50": float(np.mean(s50)) if s50.size else -1.0,
+            }
+        return out
 
     def summarize(self) -> Dict[str, float]:
         if not hasattr(self, "_precision"):
@@ -323,3 +346,20 @@ def format_summary(stats: Dict[str, float]) -> str:
         ("Average Recall     (AR) @[ IoU=0.50:0.95 | area= large | maxDets=100 ]", "AR_large"),
     ]
     return "\n".join(f" {name} = {stats[key]:0.3f}" for name, key in rows)
+
+
+def format_classwise(per_class: Dict[int, Dict[str, float]],
+                     class_names: Optional[Sequence[str]] = None) -> str:
+    """Render :meth:`DetEval.per_class_ap` as the mmdet-style classwise
+    table (category | AP | AP50, three columns across)."""
+    cells = []
+    for cat, v in sorted(per_class.items()):
+        name = class_names[cat] if class_names and cat < len(class_names) \
+            else str(cat)
+        cells.append(f"{name[:18]:<18} {v['AP']*100:6.2f} {v['AP50']*100:6.2f}")
+    header = f"{'category':<18} {'AP':>6} {'AP50':>6}"
+    ncol = 3
+    lines = [" | ".join([header] * min(ncol, max(len(cells), 1)))]
+    for i in range(0, len(cells), ncol):
+        lines.append(" | ".join(cells[i:i + ncol]))
+    return "\n".join(lines)

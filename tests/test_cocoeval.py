@@ -136,3 +136,35 @@ def test_format_summary_runs():
     ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
     out = format_summary(ev.summarize())
     assert "IoU=0.50:0.95" in out and "0.50:0.95" in out
+
+
+def test_per_class_ap_classwise_table():
+    """per_class_ap (mmdet classwise lineage): class 0 perfect → AP 1.0,
+    class 1 all-missed → AP 0.0, a class with gt but never predicted and
+    one with no gt at all: absent classes stay out / -1 never pollutes the
+    present classes' entries."""
+    ev = DetEval(num_classes=4)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])          # class 0: perfect
+    ev.add_gt("im1", [[20, 20, 10, 10]], [1])        # class 1: missed
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    ev.add_det("im1", [[90, 90, 4, 4]], [0.8], [2])  # class 2: FP, no gt
+    pc = ev.per_class_ap()
+    assert abs(pc[0]["AP"] - 1.0) < 1e-6
+    assert abs(pc[0]["AP50"] - 1.0) < 1e-6
+    assert abs(pc[1]["AP"] - 0.0) < 1e-6
+    assert pc[2]["AP"] == -1.0            # no gt anywhere → masked, like
+    # pycocotools' -1 entries (never averaged into the headline AP)
+    assert 3 not in pc                    # never seen in gts or dets
+    # the masked per-class mean over present classes reproduces summarize()
+    s = ev.summarize()
+    present = [v["AP"] for v in pc.values() if v["AP"] > -1]
+    assert abs(np.mean(present) - s["AP"]) < 1e-6
+
+
+def test_format_classwise_runs():
+    from heltondetection_tpu.utils.cocoeval import format_classwise
+    ev = DetEval(num_classes=2)
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    out = format_classwise(ev.per_class_ap(), ["cat", "dog"])
+    assert "cat" in out and "AP50" in out
