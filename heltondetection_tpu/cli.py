@@ -34,7 +34,7 @@ def main(argv=None):
         run_train(cfg, resume=not args.no_resume)
     elif args.mode == "eval":
         from heltondetection_tpu.engine.runner import run_eval
-        run_eval(cfg)
+        run_eval(cfg, dump_json=args.out)
     elif args.mode == "test":
         if not args.source:
             p.error("--mode test requires --source")

@@ -125,8 +125,14 @@ def _forward_for_eval(cfg: ExperimentConfig, model, variables):
 
 
 def run_eval(cfg: ExperimentConfig, variables=None, model=None,
-             verbose: bool = True) -> Dict[str, float]:
-    """--mode eval: val set → mAP (+ FLOPs/Params, README.md:24)."""
+             verbose: bool = True, dump_json: Optional[str] = None
+             ) -> Dict[str, float]:
+    """--mode eval: val set → mAP (+ FLOPs/Params, README.md:24).
+
+    ``dump_json``: also write the accumulated detections as a standard
+    COCO results JSON (pycocotools loadRes / mmdet --format-only
+    submission format), with labels mapped back to original category ids.
+    """
     logger = get_logger()
     ds = build_dataset(cfg.data, "val")
     nc = ds.num_classes or cfg.model.num_classes
@@ -178,6 +184,13 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
     with EvalLoader(eval_pipe, cfg.eval.batch_size,
                     num_workers=cfg.train.num_workers) as loader:
         stats = ev.run(loader, det_eval=det, verbose=False)
+    if dump_json and jax.process_index() == 0:
+        import json
+        results = det.to_coco_json(getattr(ds, "label_to_cat", None))
+        with open(dump_json, "w") as f:
+            json.dump(results, f)
+        logger.info("wrote %d detections (COCO results format) to %s",
+                    len(results), dump_json)
     if verbose:
         logger.info("eval results for %s:\n%s", cfg.name,
                     format_summary(stats))
@@ -579,6 +592,16 @@ def run_test(cfg: ExperimentConfig, source: str,
                    conf_thres=cfg.test.conf_thres,
                    iou_thres=cfg.test.iou_thres, tta=cfg.test.tta,
                    tta_scales=cfg.test.tta_scales)
+    if os.path.isdir(source):   # batch over a directory of images
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        files = sorted(f for f in os.listdir(source)
+                       if f.lower().endswith(exts))
+        out_dir = out_path or os.path.join(cfg.work_dir, cfg.name, "test_out")
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            det.infer_image_file(os.path.join(source, f),
+                                 os.path.join(out_dir, f), ds_names)
+        return {"images": len(files), "out_dir": out_dir}
     ext = os.path.splitext(source)[1].lower()
     if ext in (".mp4", ".avi", ".mov", ".mkv"):
         n = det.infer_video_file(source, out_path or "out.mp4", ds_names)

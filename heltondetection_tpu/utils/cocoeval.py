@@ -289,6 +289,23 @@ class DetEval:
             }
         return out
 
+    def to_coco_json(self, label_to_cat: Optional[Dict[int, int]] = None
+                     ) -> List[Dict]:
+        """Accumulated detections as the standard COCO results list
+        (``[{image_id, category_id, bbox xywh, score}]`` — the
+        pycocotools ``loadRes`` / mmdet ``--format-only`` submission
+        format). ``label_to_cat`` maps contiguous training labels back to
+        original dataset category ids (COCODataset.label_to_cat); identity
+        when omitted."""
+        out: List[Dict] = []
+        for (img_id, cat), dets in self._dts.items():
+            cat_id = label_to_cat[cat] if label_to_cat else cat
+            for box, score in dets:
+                out.append({"image_id": img_id, "category_id": int(cat_id),
+                            "bbox": [round(float(v), 3) for v in box],
+                            "score": round(float(score), 5)})
+        return out
+
     def summarize(self) -> Dict[str, float]:
         if not hasattr(self, "_precision"):
             self.accumulate()

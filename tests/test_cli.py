@@ -49,7 +49,18 @@ def test_cli_train_eval_test(workspace):
     ckpt_dir = os.path.join(root, "runs", "tiny_synth", "ckpt")
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
 
-    assert cli_main(["--mode", "eval", "--config", cfg_path]) == 0
+    res_json = os.path.join(root, "results.json")
+    assert cli_main(["--mode", "eval", "--config", cfg_path,
+                     "--out", res_json]) == 0
+    # --out at eval writes the COCO submission-format results list with
+    # original category ids (the synthetic ann uses ids 1..4 → labels 0..3)
+    import json
+    results = json.load(open(res_json))
+    assert results and {"image_id", "category_id", "bbox", "score"} <= \
+        set(results[0])
+    with open(ann) as f:
+        valid_cats = {c["id"] for c in json.load(f)["categories"]}
+    assert {r["category_id"] for r in results} <= valid_cats
     # quality gate through the public runner: 160 overfit epochs on 8
     # synthetic images must reach high AP50 (catches silent train/eval
     # pipeline skew, e.g. normalization mismatches)
@@ -63,6 +74,12 @@ def test_cli_train_eval_test(workspace):
     assert cli_main(["--mode", "test", "--config", cfg_path,
                      "--source", img_path, "--out", out_path]) == 0
     assert os.path.exists(out_path)
+
+    # --mode test on a DIRECTORY renders every image into the out dir
+    out_dir = os.path.join(root, "test_out")
+    assert cli_main(["--mode", "test", "--config", cfg_path,
+                     "--source", imgs, "--out", out_dir]) == 0
+    assert len(os.listdir(out_dir)) == len(os.listdir(imgs))
 
 
 def test_cli_resume(workspace):

@@ -161,6 +161,21 @@ def test_per_class_ap_classwise_table():
     assert abs(np.mean(present) - s["AP"]) < 1e-6
 
 
+def test_to_coco_json_submission_format():
+    """to_coco_json: standard pycocotools-loadRes results list, labels
+    mapped back to original category ids."""
+    ev = DetEval(num_classes=2)
+    ev.add_det("im1", [[1.0, 2.0, 10.0, 20.0]], [0.9], [0])
+    ev.add_det(7, [[3.0, 4.0, 5.0, 6.0]], [0.5], [1])
+    res = ev.to_coco_json(label_to_cat={0: 11, 1: 42})
+    assert sorted(r["category_id"] for r in res) == [11, 42]
+    r0 = next(r for r in res if r["image_id"] == "im1")
+    assert r0["bbox"] == [1.0, 2.0, 10.0, 20.0] and r0["score"] == 0.9
+    # identity without a mapping; json-serializable throughout
+    import json
+    assert json.loads(json.dumps(ev.to_coco_json()))[0]["category_id"] in (0, 1)
+
+
 def test_format_classwise_runs():
     from heltondetection_tpu.utils.cocoeval import format_classwise
     ev = DetEval(num_classes=2)
