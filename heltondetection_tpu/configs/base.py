@@ -105,6 +105,9 @@ class EvalConfig:
     multi_label: bool = True
     fused: bool = True   # packed-head fused postprocess (ops/postprocess.py)
     approx: bool = False  # approx_max_k candidate top-k (serving-only knob)
+    ckpt: str = "last"   # which checkpoint eval/test/export load:
+    # "last" = newest rotating ckpt; "best" = the best-val-AP snapshot
+    # (ckpt_best/, written whenever the in-loop eval improves)
 
 
 @dataclass
@@ -129,6 +132,10 @@ class ExperimentConfig:
     @property
     def ckpt_dir(self) -> str:
         return os.path.join(self.work_dir, self.name, "ckpt")
+
+    @property
+    def best_ckpt_dir(self) -> str:
+        return os.path.join(self.work_dir, self.name, "ckpt_best")
 
     @property
     def log_dir(self) -> str:

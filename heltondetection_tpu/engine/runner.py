@@ -209,7 +209,9 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
 
 
 def _load_eval_variables(cfg: ExperimentConfig, model):
-    """Restore EMA params (fall back to raw params) from the work dir."""
+    """Restore EMA params (fall back to raw params) from the work dir.
+    ``cfg.eval.ckpt = "best"`` loads the best-val-AP snapshot (ckpt_best/,
+    the lineage's best.pt) instead of the newest rotating checkpoint."""
     from heltondetection_tpu.train.schedule import make_optimizer
     from heltondetection_tpu.train.trainer import create_train_state
     tx = make_optimizer(cfg.train.lr, total_steps=100, warmup_steps=10,
@@ -225,7 +227,15 @@ def _load_eval_variables(cfg: ExperimentConfig, model):
     else:
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    cfg.model.img_size, tx)
-    state = ckpt_io.restore_state(cfg.ckpt_dir, state)
+    ckpt_dir = cfg.ckpt_dir
+    if getattr(cfg.eval, "ckpt", "last") == "best":
+        if ckpt_io.latest_step(cfg.best_ckpt_dir) is not None:
+            ckpt_dir = cfg.best_ckpt_dir
+        else:
+            get_logger().warning("eval.ckpt='best' but %s has no snapshot "
+                                 "(no in-loop eval improved yet?); falling "
+                                 "back to %s", cfg.best_ckpt_dir, cfg.ckpt_dir)
+    state = ckpt_io.restore_state(ckpt_dir, state)
     params = state.ema_params if state.ema_params is not None else state.params
     return {"params": params, "batch_stats": state.batch_stats}
 
@@ -494,16 +504,23 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     # async ckpt writer (rank 0 only — the saver rank): epoch saves stage
     # the host state and write on orbax's background thread while the next
     # epochs train; close() below blocks until the last write committed
-    writer = ckpt_io.CheckpointWriter(cfg.ckpt_dir) \
-        if jax.process_index() == 0 else None
+    writer = best_writer = None
+    if jax.process_index() == 0:
+        writer = ckpt_io.CheckpointWriter(cfg.ckpt_dir)
+        # best-val-AP snapshot (the lineage's best.pt): one slot, written
+        # whenever the in-loop eval improves; eval/test/export load it
+        # with cfg.eval.ckpt = "best"
+        best_writer = ckpt_io.CheckpointWriter(cfg.best_ckpt_dir,
+                                               max_to_keep=1)
     try:
         best = _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh,
                              rng, tb, logger, start_epoch, steps_per_epoch,
-                             model, writer)
+                             model, writer, best_writer)
     finally:
         loader.close()
-        if writer is not None:
-            writer.close()
+        for w in (writer, best_writer):
+            if w is not None:
+                w.close()
         if trace_dir:
             jax.profiler.stop_trace()
         tb.close()
@@ -511,7 +528,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 
 
 def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
-                  logger, start_epoch, steps_per_epoch, model, writer=None):
+                  logger, start_epoch, steps_per_epoch, model, writer=None,
+                  best_writer=None):
     best: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
@@ -556,6 +574,7 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
         # cannot deadlock any collective
         if jax.process_index() != 0:
             continue
+        host_state = None   # device_get once per epoch, shared by both saves
         if (epoch + 1) % cfg.train.ckpt_interval == 0 or last:
             # device_get snapshots the state to fresh host buffers, so the
             # async write never races the next epoch's device updates
@@ -573,8 +592,15 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                                    "AP50": stats["AP50"]}, prefix="val/")
                 logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,
                             stats["AP"], stats["AP50"])
-                best = stats if stats.get("AP", 0) >= best.get("AP", -1) \
-                    else best
+                if stats.get("AP", 0) >= best.get("AP", -1):
+                    best = stats
+                    if best_writer is not None:
+                        if host_state is None:
+                            host_state = jax.device_get(state)
+                        best_writer.save(host_state, int(state.step))
+                        logger.info("epoch %d: new best AP=%.4f → %s",
+                                    epoch + 1, stats["AP"],
+                                    cfg.best_ckpt_dir)
     return best
 
 

@@ -69,6 +69,17 @@ def test_cli_train_eval_test(workspace):
     stats = run_eval(load_config(cfg_path), verbose=False)
     assert stats["AP50"] > 0.6, stats
 
+    # the final in-loop eval wrote the best-val-AP snapshot (lineage
+    # best.pt); eval.ckpt="best" loads it through the public runner
+    import dataclasses
+    best_dir = os.path.join(root, "runs", "tiny_synth", "ckpt_best")
+    assert os.path.isdir(best_dir) and \
+        any(x.isdigit() for x in os.listdir(best_dir))
+    cfg_b = load_config(cfg_path)
+    cfg_b = dataclasses.replace(
+        cfg_b, eval=dataclasses.replace(cfg_b.eval, ckpt="best"))
+    assert run_eval(cfg_b, verbose=False)["AP50"] > 0.6
+
     img_path = os.path.join(imgs, sorted(os.listdir(imgs))[0])
     out_path = os.path.join(root, "out.png")
     assert cli_main(["--mode", "test", "--config", cfg_path,
