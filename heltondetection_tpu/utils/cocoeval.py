@@ -289,6 +289,51 @@ class DetEval:
             }
         return out
 
+    def confusion_matrix(self, conf_thres: float = 0.25,
+                         iou_thres: float = 0.45) -> np.ndarray:
+        """(nc+1, nc+1) confusion matrix over the accumulated dets/gts —
+        the Ultralytics val-time matrix (row = predicted class, column =
+        true class, last index = background): dets above ``conf_thres``
+        greedily match gts at IoU ≥ ``iou_thres`` in score order;
+        unmatched gts count as background-row FNs, unmatched dets as
+        background-column FPs. Crowd/ignore gts take part in matching but
+        their matches are dropped from both counts (COCO ignore
+        semantics), so they neither reward nor punish."""
+        nc = self.num_classes
+        mat = np.zeros((nc + 1, nc + 1), np.int64)
+        per_g: Dict = {}
+        per_d: Dict = {}
+        for (img, cat), gts in self._gts.items():
+            for box, crowd, _area, ig in gts:
+                per_g.setdefault(img, []).append((box, cat, crowd or ig))
+        for (img, cat), dts in self._dts.items():
+            for box, score in dts:
+                if score >= conf_thres:
+                    per_d.setdefault(img, []).append((box, cat, score))
+        for img in set(per_g) | set(per_d):
+            gts = per_g.get(img, [])
+            dts = sorted(per_d.get(img, []), key=lambda d: -d[2])
+            g_boxes = np.array([g[0] for g in gts]).reshape(-1, 4)
+            g_ig = np.array([g[2] for g in gts], bool).reshape(-1)
+            d_boxes = np.array([d[0] for d in dts]).reshape(-1, 4)
+            ious = _iou_xywh(d_boxes, g_boxes, g_ig.astype(np.int64))
+            taken = np.zeros(len(gts), bool)
+            for di, (_box, dc, _s) in enumerate(dts):
+                cand = np.where(~taken & (ious[di] >= iou_thres))[0] \
+                    if len(gts) else np.array([], np.int64)
+                if cand.size:
+                    gi = int(cand[np.argmax(ious[di][cand])])
+                    taken[gi] = True
+                    if g_ig[gi]:
+                        continue          # matched an ignore gt: drop det
+                    mat[dc, gts[gi][1]] += 1
+                else:
+                    mat[dc, nc] += 1      # FP: background column
+            for gi, (_box, gc, ig) in enumerate(gts):
+                if not taken[gi] and not ig:
+                    mat[nc, gc] += 1      # FN: background row
+        return mat
+
     def to_coco_json(self, label_to_cat: Optional[Dict[int, int]] = None
                      ) -> List[Dict]:
         """Accumulated detections as the standard COCO results list
@@ -363,6 +408,41 @@ def format_summary(stats: Dict[str, float]) -> str:
         ("Average Recall     (AR) @[ IoU=0.50:0.95 | area= large | maxDets=100 ]", "AR_large"),
     ]
     return "\n".join(f" {name} = {stats[key]:0.3f}" for name, key in rows)
+
+
+def save_confusion_png(mat: np.ndarray,
+                       class_names: Optional[Sequence[str]],
+                       path: str, normalize: bool = True) -> None:
+    """Render :meth:`DetEval.confusion_matrix` as the Ultralytics-style
+    heatmap PNG (column-normalized so each true-class column sums to 1)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    n = mat.shape[0]
+    names = (list(class_names) if class_names else
+             [str(i) for i in range(n - 1)]) + ["background"]
+    names = names[:n]
+    m = mat.astype(np.float64)
+    if normalize:
+        m = m / np.maximum(m.sum(0, keepdims=True), 1e-9)
+    fig, ax = plt.subplots(figsize=(max(6, n * 0.35),) * 2, dpi=120)
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    ax.set_xticks(range(n), names, rotation=90, fontsize=7)
+    ax.set_yticks(range(n), names, fontsize=7)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    if n <= 30:   # annotate cells only when readable
+        for i in range(n):
+            for j in range(n):
+                if mat[i, j]:
+                    ax.text(j, i, f"{m[i, j]:.2f}" if normalize
+                            else str(mat[i, j]), ha="center", va="center",
+                            fontsize=6,
+                            color="white" if m[i, j] > 0.5 else "black")
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
 
 
 def format_classwise(per_class: Dict[int, Dict[str, float]],

@@ -176,6 +176,35 @@ def test_to_coco_json_submission_format():
     assert json.loads(json.dumps(ev.to_coco_json()))[0]["category_id"] in (0, 1)
 
 
+def test_confusion_matrix_semantics(tmp_path):
+    """Ultralytics val-time confusion matrix: TP on the diagonal,
+    misclassification off-diagonal, FN in the background row, FP in the
+    background column; sub-conf dets and ignore-gt matches are dropped."""
+    ev = DetEval(num_classes=3)
+    ev.add_gt("im1", [[0, 0, 10, 10], [20, 20, 10, 10], [40, 40, 10, 10]],
+              [0, 1, 2])
+    # TP class 0; class-1 gt predicted as class 2 (misclass at same box);
+    # class-2 gt missed; plus one FP far away and one sub-conf det (dropped)
+    ev.add_det("im1", [[0, 0, 10, 10], [20, 20, 10, 10], [70, 70, 5, 5],
+                       [0, 0, 10, 10]],
+               [0.9, 0.8, 0.7, 0.1], [0, 2, 1, 1])
+    # an ignore gt matched by a det: neither TP nor FP
+    ev.add_gt("im2", [[0, 0, 10, 10]], [0], ignore=[1])
+    ev.add_det("im2", [[0, 0, 10, 10]], [0.9], [0])
+    m = ev.confusion_matrix(conf_thres=0.25, iou_thres=0.45)
+    assert m[0, 0] == 1          # TP class 0
+    assert m[2, 1] == 1          # gt class 1 predicted as class 2
+    assert m[3, 2] == 1          # class-2 gt missed → background row
+    assert m[1, 3] == 1          # stray class-1 det → background column
+    assert m.sum() == 4          # ignore match + sub-conf det contributed 0
+    # the PNG renderer runs end-to-end
+    from heltondetection_tpu.utils.cocoeval import save_confusion_png
+    p = str(tmp_path / "cm.png")
+    save_confusion_png(m, ["a", "b", "c"], p)
+    import os
+    assert os.path.getsize(p) > 1000
+
+
 def test_format_classwise_runs():
     from heltondetection_tpu.utils.cocoeval import format_classwise
     ev = DetEval(num_classes=2)
