@@ -195,19 +195,22 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
         logger.info("eval results for %s:\n%s", cfg.name,
                     format_summary(stats))
         from heltondetection_tpu.utils.cocoeval import (format_classwise,
-                                                        save_confusion_png)
+                                                        save_confusion_png,
+                                                        save_pr_curves_png)
         names = getattr(ds, "class_names", None) or cfg.data.class_names
         logger.info("per-class AP (mmdet classwise lineage):\n%s",
                     format_classwise(det.per_class_ap(), names))
         try:
-            cm_path = os.path.join(cfg.work_dir, cfg.name,
-                                   "confusion_matrix.png")
-            os.makedirs(os.path.dirname(cm_path), exist_ok=True)
+            art_dir = os.path.join(cfg.work_dir, cfg.name)
+            os.makedirs(art_dir, exist_ok=True)
+            cm_path = os.path.join(art_dir, "confusion_matrix.png")
             save_confusion_png(det.confusion_matrix(), names, cm_path)
-            logger.info("confusion matrix (conf 0.25, IoU 0.45) → %s",
-                        cm_path)
+            pr_path = os.path.join(art_dir, "pr_curve.png")
+            save_pr_curves_png(det, names, pr_path)
+            logger.info("eval artifacts: confusion matrix (conf 0.25, IoU "
+                        "0.45) → %s; PR curves @0.5 → %s", cm_path, pr_path)
         except Exception as e:   # matplotlib is optional at runtime
-            logger.info("confusion matrix unavailable: %s", e)
+            logger.info("eval artifact rendering unavailable: %s", e)
         try:
             from heltondetection_tpu.utils.flops import model_complexity
             comp = model_complexity(model, variables, cfg.model.img_size)

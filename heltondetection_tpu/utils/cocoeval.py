@@ -445,6 +445,70 @@ def save_confusion_png(mat: np.ndarray,
     plt.close(fig)
 
 
+# fixed-order categorical palette (validated: adjacent-pair CVD ΔE ≥ 8,
+# normal-vision ΔE ≥ 15 on a light surface); hues follow class identity
+_SERIES = ("#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+           "#e87ba4", "#008300", "#4a3aa7", "#e34948")
+
+
+def save_pr_curves_png(det: "DetEval",
+                       class_names: Optional[Sequence[str]],
+                       path: str) -> None:
+    """Render per-class precision-recall curves @IoU=0.5 (area=all,
+    maxDets=100) — the Ultralytics PR_curve.png artifact. ≤8 classes get
+    one colored line each (fixed palette order + legend); beyond that,
+    per-class curves fall to a single muted gray and only the bold mean
+    curve carries color, so hues are never cycled."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    if not hasattr(det, "_precision"):
+        det.accumulate()
+    a = list(AREA_RNG.keys()).index("all")
+    m = MAX_DETS.index(100)
+    t50 = int(np.argwhere(np.isclose(det.iou_thrs, 0.5))[0][0])
+    p = det._precision[t50, :, :, a, m]          # (R, K)
+    cats = list(det._cats)
+    names = list(class_names) if class_names else [str(c) for c in cats]
+    fig, ax = plt.subplots(figsize=(7, 5), dpi=120)
+    fig.patch.set_facecolor("#fcfcfb")
+    ax.set_facecolor("#fcfcfb")
+    present = [k for k in range(len(cats)) if (p[:, k] > -1).any()]
+    small = len(present) <= len(_SERIES)
+    for i, k in enumerate(present):
+        y = np.where(p[:, k] > -1, p[:, k], 0.0)
+        ap = float(np.mean(p[:, k][p[:, k] > -1]))
+        cat = cats[k]
+        label = names[cat] if cat < len(names) else str(cat)
+        if small:
+            ax.plot(REC_THRS, y, color=_SERIES[i], linewidth=2,
+                    label=f"{label} {ap:.3f}")
+        else:
+            ax.plot(REC_THRS, y, color="#c9c8c2", linewidth=0.8)
+    if present:
+        valid = p[:, present]
+        mean = np.where(valid > -1, valid, 0.0).mean(1)
+        map50 = float(np.mean([np.mean(p[:, k][p[:, k] > -1])
+                               for k in present]))
+        # the mean is a summary, not a series: neutral ink, never a hue
+        # that could collide with a class line
+        ax.plot(REC_THRS, mean, color="#0b0b0b", linewidth=2.5,
+                label=f"all classes {map50:.3f} mAP@0.5")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.02)
+    ax.set_xlabel("Recall", color="#0b0b0b")
+    ax.set_ylabel("Precision", color="#0b0b0b")
+    ax.set_title("Precision-Recall @ IoU 0.5", color="#0b0b0b")
+    ax.grid(True, color="#e8e7e3", linewidth=0.6)
+    for s in ax.spines.values():
+        s.set_color("#c9c8c2")
+    ax.tick_params(colors="#52514e")
+    ax.legend(loc="lower left", fontsize=7, frameon=False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def format_classwise(per_class: Dict[int, Dict[str, float]],
                      class_names: Optional[Sequence[str]] = None) -> str:
     """Render :meth:`DetEval.per_class_ap` as the mmdet-style classwise

@@ -205,6 +205,26 @@ def test_confusion_matrix_semantics(tmp_path):
     assert os.path.getsize(p) > 1000
 
 
+def test_pr_curves_png(tmp_path):
+    """PR-curve artifact renders for both the ≤8-class colored regime and
+    the many-class gray+mean regime."""
+    from heltondetection_tpu.utils.cocoeval import save_pr_curves_png
+    import os
+    ev = DetEval(num_classes=2)
+    ev.add_gt("im1", [[0, 0, 10, 10], [30, 30, 8, 8]], [0, 1])
+    ev.add_det("im1", [[0, 0, 10, 10], [31, 31, 8, 8]], [0.9, 0.7], [0, 1])
+    p = str(tmp_path / "pr_small.png")
+    save_pr_curves_png(ev, ["cat", "dog"], p)
+    assert os.path.getsize(p) > 1000
+    ev2 = DetEval(num_classes=12)
+    for c in range(12):
+        ev2.add_gt(f"im{c}", [[0, 0, 10, 10]], [c])
+        ev2.add_det(f"im{c}", [[0, 0, 10, 10]], [0.9], [c])
+    p2 = str(tmp_path / "pr_big.png")
+    save_pr_curves_png(ev2, None, p2)
+    assert os.path.getsize(p2) > 1000
+
+
 def test_format_classwise_runs():
     from heltondetection_tpu.utils.cocoeval import format_classwise
     ev = DetEval(num_classes=2)
