@@ -646,23 +646,30 @@ def run_test(cfg: ExperimentConfig, source: str,
         n = det.infer_video_file(source, out_path or "out.mp4", ds_names)
         return {"frames": n}
     result = det.infer_image_file(source, out_path, ds_names)
-    if cfg.test.save_heatmaps and cfg.model.family == "yolov5" and out_path:
+    if cfg.test.save_heatmaps and out_path:
         import cv2
         from heltondetection_tpu.data.augment import letterbox_np
         from heltondetection_tpu.data.readers import imread_rgb
         from heltondetection_tpu.utils.vis import (feature_heatmaps,
-                                                   objectness_maps)
+                                                   objectness_maps,
+                                                   rpn_objectness_maps)
         img = imread_rgb(source)
         lb, _, _ = letterbox_np(img, np.zeros((0, 4), np.float32),
                                 cfg.model.img_size)
-        raws = model.apply(variables,
-                           jnp.asarray(lb, jnp.float32)[None] / 255.0,
-                           train=False)
-        raws0 = [np.asarray(r[0]) for r in raws]
+        x = jnp.asarray(lb, jnp.float32)[None] / 255.0
         stem = os.path.splitext(out_path)[0]
-        hm = feature_heatmaps(lb, raws0)
+        if cfg.model.family == "yolov5":
+            raws = model.apply(variables, x, train=False)
+            raws0 = [np.asarray(r[0]) for r in raws]
+            hm = feature_heatmaps(lb, raws0)
+            om = objectness_maps(lb, raws0, cfg.model.num_classes)
+        else:   # faster_rcnn: FPN activation panels + RPN objectness
+            pyr, obj, _ = model.apply(variables, x, train=False)
+            pyr0 = [np.asarray(p[0]) for p in pyr]
+            hm = feature_heatmaps(lb, pyr0)
+            om = rpn_objectness_maps(lb, [p.shape[:2] for p in pyr0],
+                                     np.asarray(obj[0]))
         cv2.imwrite(stem + "_heatmaps.png", cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
-        om = objectness_maps(lb, raws0, cfg.model.num_classes)
         cv2.imwrite(stem + "_objmaps.png", cv2.cvtColor(om, cv2.COLOR_RGB2BGR))
         result["heatmaps"] = stem + "_heatmaps.png"
     return result

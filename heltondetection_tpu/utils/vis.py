@@ -88,3 +88,25 @@ def objectness_maps(img: np.ndarray, raw_levels: Sequence[np.ndarray],
         hm = _colorize(m, (w, h))
         panels.append((img * (1 - alpha) + hm * alpha).astype(np.uint8))
     return np.concatenate(panels, axis=1)
+
+
+def rpn_objectness_maps(img: np.ndarray, level_hw: Sequence,
+                        obj_concat: np.ndarray, a_per_cell: int = 3,
+                        alpha: float = 0.5) -> np.ndarray:
+    """Per-level RPN objectness panels for the two-stage family — the
+    FasterRCNN counterpart of :func:`objectness_maps` (demo/2.jpg style).
+    ``obj_concat``: (N,) RPN logits concatenated level-major (the RPNHead
+    output layout, models/faster_rcnn.py); ``level_hw``: [(H_l, W_l), ...].
+    """
+    h, w = img.shape[:2]
+    panels = []
+    start = 0
+    for hh, ww in level_hw:
+        n = hh * ww * a_per_cell
+        lv = np.asarray(obj_concat[start:start + n]).reshape(hh, ww,
+                                                             a_per_cell)
+        start += n
+        m = 1.0 / (1.0 + np.exp(-lv.max(axis=-1)))
+        hm = _colorize(m, (w, h))
+        panels.append((img * (1 - alpha) + hm * alpha).astype(np.uint8))
+    return np.concatenate(panels, axis=1)

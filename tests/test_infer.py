@@ -110,3 +110,47 @@ def test_detect_batch_matches_detect_image(tiny_detector):
         np.testing.assert_allclose(b1, b2, atol=1e-4)
         np.testing.assert_allclose(s1, s2, atol=1e-5)
         assert np.array_equal(c1, c2)
+
+
+def test_run_test_rcnn_heatmaps(tmp_path):
+    """--mode test heatmap panels for the two-stage family: FPN activation
+    heatmaps + RPN objectness maps (the YOLO path's demo-parity panels,
+    extended to FasterRCNN)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.engine.runner import build_model, run_test
+    from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import TrainState
+    from heltondetection_tpu.utils import ckpt as ckpt_io
+
+    cfg = ExperimentConfig(
+        name="rcnn_hm", work_dir=str(tmp_path),
+        data=DataConfig(format="coco", train_ann="x", train_imgs="y",
+                        class_names=["a", "b", "c", "d"]),
+        model=ModelConfig(family="faster_rcnn", backbone="resnet18",
+                          num_classes=4, img_size=64),
+        train=TrainConfig(), eval=EvalConfig(),
+        test=TestConfig(save_heatmaps=True, conf_thres=0.01))
+    model = build_model(cfg.model, 4)
+    v = init_faster_rcnn(model, jax.random.PRNGKey(0), 64)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1)
+    state = TrainState(v["params"], v["batch_stats"], tx.init(v["params"]),
+                       jnp.zeros((), jnp.int32), v["params"])
+    ckpt_io.save_state(cfg.ckpt_dir, jax.device_get(state), 1)
+
+    src = str(tmp_path / "in.png")
+    rng = np.random.default_rng(0)
+    cv2.imwrite(src, rng.integers(0, 255, (80, 120, 3)).astype(np.uint8))
+    out = str(tmp_path / "out.png")
+    run_test(cfg, src, out)
+    hm = cv2.imread(str(tmp_path / "out_heatmaps.png"))
+    om = cv2.imread(str(tmp_path / "out_objmaps.png"))
+    assert hm is not None and om is not None
+    # one panel per pyramid level (P2..P6), each letterboxed-square wide
+    assert hm.shape[1] == 5 * 64 and om.shape[1] == 5 * 64
