@@ -139,7 +139,7 @@ class YOLODataset:
     ``cls cx cy w h`` normalized to [0,1]; images under ``img_dir``,
     labels under ``label_dir`` with the same stem."""
 
-    IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
     def __init__(self, img_dir: str, label_dir: str,
                  class_names: Optional[Sequence[str]] = None):

@@ -543,7 +543,9 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                   logger, start_epoch, steps_per_epoch, model, writer=None,
                   best_writer=None):
-    best: Dict[str, float] = {}
+    # seed with a previous run's best (best.json) so a resumed run's first
+    # eval cannot overwrite a better snapshot in the one-slot ckpt_best/
+    best: Dict[str, float] = _read_best_json(cfg) if start_epoch else {}
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         agg: Dict[str, float] = {}
@@ -588,7 +590,8 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
         if jax.process_index() != 0:
             continue
         host_state = None   # device_get once per epoch, shared by both saves
-        if (epoch + 1) % cfg.train.ckpt_interval == 0 or last:
+        if ((epoch + 1) % cfg.train.ckpt_interval == 0 or last) \
+                and writer is not None:
             # device_get snapshots the state to fresh host buffers, so the
             # async write never races the next epoch's device updates
             host_state = jax.device_get(state)
@@ -605,16 +608,39 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                                    "AP50": stats["AP50"]}, prefix="val/")
                 logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,
                             stats["AP"], stats["AP50"])
-                if stats.get("AP", 0) >= best.get("AP", -1):
+                if stats.get("AP", 0) > best.get("AP", -1):
                     best = stats
                     if best_writer is not None:
                         if host_state is None:
                             host_state = jax.device_get(state)
                         best_writer.save(host_state, int(state.step))
+                        _write_best_json(cfg, stats, int(state.step))
                         logger.info("epoch %d: new best AP=%.4f → %s",
                                     epoch + 1, stats["AP"],
                                     cfg.best_ckpt_dir)
     return best
+
+
+def _best_json_path(cfg) -> str:
+    return os.path.join(cfg.work_dir, cfg.name, "best.json")
+
+
+def _write_best_json(cfg, stats: Dict[str, float], step: int) -> None:
+    import json
+    with open(_best_json_path(cfg), "w") as f:
+        json.dump({"AP": stats["AP"], "AP50": stats["AP50"], "step": step},
+                  f)
+
+
+def _read_best_json(cfg) -> Dict[str, float]:
+    """Best-so-far val stats from a previous run (resume must not let a
+    worse post-restart eval overwrite the genuinely best snapshot)."""
+    import json
+    try:
+        with open(_best_json_path(cfg)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 def run_test(cfg: ExperimentConfig, source: str,
@@ -632,14 +658,17 @@ def run_test(cfg: ExperimentConfig, source: str,
                    iou_thres=cfg.test.iou_thres, tta=cfg.test.tta,
                    tta_scales=cfg.test.tta_scales)
     if os.path.isdir(source):   # batch over a directory of images
-        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        from heltondetection_tpu.data.readers import YOLODataset
         files = sorted(f for f in os.listdir(source)
-                       if f.lower().endswith(exts))
+                       if os.path.splitext(f)[1].lower()
+                       in YOLODataset.IMG_EXTS)
         out_dir = out_path or os.path.join(cfg.work_dir, cfg.name, "test_out")
         os.makedirs(out_dir, exist_ok=True)
         for f in files:
-            det.infer_image_file(os.path.join(source, f),
-                                 os.path.join(out_dir, f), ds_names)
+            src_f, out_f = os.path.join(source, f), os.path.join(out_dir, f)
+            det.infer_image_file(src_f, out_f, ds_names)
+            if cfg.test.save_heatmaps:
+                _save_heatmap_panels(cfg, model, variables, src_f, out_f)
         return {"images": len(files), "out_dir": out_dir}
     ext = os.path.splitext(source)[1].lower()
     if ext in (".mp4", ".avi", ".mov", ".mkv"):
@@ -647,29 +676,39 @@ def run_test(cfg: ExperimentConfig, source: str,
         return {"frames": n}
     result = det.infer_image_file(source, out_path, ds_names)
     if cfg.test.save_heatmaps and out_path:
-        import cv2
-        from heltondetection_tpu.data.augment import letterbox_np
-        from heltondetection_tpu.data.readers import imread_rgb
-        from heltondetection_tpu.utils.vis import (feature_heatmaps,
-                                                   objectness_maps,
-                                                   rpn_objectness_maps)
-        img = imread_rgb(source)
-        lb, _, _ = letterbox_np(img, np.zeros((0, 4), np.float32),
-                                cfg.model.img_size)
-        x = jnp.asarray(lb, jnp.float32)[None] / 255.0
-        stem = os.path.splitext(out_path)[0]
-        if cfg.model.family == "yolov5":
-            raws = model.apply(variables, x, train=False)
-            raws0 = [np.asarray(r[0]) for r in raws]
-            hm = feature_heatmaps(lb, raws0)
-            om = objectness_maps(lb, raws0, cfg.model.num_classes)
-        else:   # faster_rcnn: FPN activation panels + RPN objectness
-            pyr, obj, _ = model.apply(variables, x, train=False)
-            pyr0 = [np.asarray(p[0]) for p in pyr]
-            hm = feature_heatmaps(lb, pyr0)
-            om = rpn_objectness_maps(lb, [p.shape[:2] for p in pyr0],
-                                     np.asarray(obj[0]))
-        cv2.imwrite(stem + "_heatmaps.png", cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(stem + "_objmaps.png", cv2.cvtColor(om, cv2.COLOR_RGB2BGR))
-        result["heatmaps"] = stem + "_heatmaps.png"
+        result["heatmaps"] = _save_heatmap_panels(cfg, model, variables,
+                                                  source, out_path)
     return result
+
+
+def _save_heatmap_panels(cfg, model, variables, source: str,
+                         out_path: str) -> str:
+    """Render the demo-style per-level panels next to ``out_path``:
+    activation heatmaps + objectness/score maps (YOLO raw-head maps;
+    FasterRCNN FPN activations + RPN objectness). Returns the heatmap
+    path."""
+    import cv2
+    from heltondetection_tpu.data.augment import letterbox_np
+    from heltondetection_tpu.data.readers import imread_rgb
+    from heltondetection_tpu.utils.vis import (feature_heatmaps,
+                                               objectness_maps,
+                                               rpn_objectness_maps)
+    img = imread_rgb(source)
+    lb, _, _ = letterbox_np(img, np.zeros((0, 4), np.float32),
+                            cfg.model.img_size)
+    x = jnp.asarray(lb, jnp.float32)[None] / 255.0
+    stem = os.path.splitext(out_path)[0]
+    if cfg.model.family == "yolov5":
+        raws = model.apply(variables, x, train=False)
+        raws0 = [np.asarray(r[0]) for r in raws]
+        hm = feature_heatmaps(lb, raws0)
+        om = objectness_maps(lb, raws0, cfg.model.num_classes)
+    else:   # faster_rcnn: FPN activation panels + RPN objectness
+        pyr, obj, _ = model.apply(variables, x, train=False)
+        pyr0 = [np.asarray(p[0]) for p in pyr]
+        hm = feature_heatmaps(lb, pyr0)
+        om = rpn_objectness_maps(lb, [p.shape[:2] for p in pyr0],
+                                 np.asarray(obj[0]))
+    cv2.imwrite(stem + "_heatmaps.png", cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(stem + "_objmaps.png", cv2.cvtColor(om, cv2.COLOR_RGB2BGR))
+    return stem + "_heatmaps.png"

@@ -319,16 +319,21 @@ class DetEval:
             ious = _iou_xywh(d_boxes, g_boxes, g_ig.astype(np.int64))
             taken = np.zeros(len(gts), bool)
             for di, (_box, dc, _s) in enumerate(dts):
-                cand = np.where(~taken & (ious[di] >= iou_thres))[0] \
-                    if len(gts) else np.array([], np.int64)
-                if cand.size:
-                    gi = int(cand[np.argmax(ious[di][cand])])
-                    taken[gi] = True
-                    if g_ig[gi]:
-                        continue          # matched an ignore gt: drop det
-                    mat[dc, gts[gi][1]] += 1
-                else:
-                    mat[dc, nc] += 1      # FP: background column
+                if len(gts):
+                    ok = ious[di] >= iou_thres
+                    # real gts take priority: an ignore gt never steals a
+                    # match from a same-spot real gt
+                    cand = np.where(ok & ~taken & ~g_ig)[0]
+                    if cand.size:
+                        gi = int(cand[np.argmax(ious[di][cand])])
+                        taken[gi] = True
+                        mat[dc, gts[gi][1]] += 1
+                        continue
+                    if (ok & g_ig).any():
+                        continue   # absorbed by a crowd/ignore region:
+                        # neither TP nor FP, and the region is never
+                        # consumed (COCO crowds absorb unlimited dets)
+                mat[dc, nc] += 1          # FP: background column
             for gi, (_box, gc, ig) in enumerate(gts):
                 if not taken[gi] and not ig:
                     mat[nc, gc] += 1      # FN: background row
@@ -419,9 +424,12 @@ def save_confusion_png(mat: np.ndarray,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     n = mat.shape[0]
-    names = (list(class_names) if class_names else
-             [str(i) for i in range(n - 1)]) + ["background"]
-    names = names[:n]
+    cls_names = (list(class_names) if class_names else
+                 [str(i) for i in range(n - 1)])
+    # last row/column is ALWAYS background, even if more class names than
+    # classes were passed
+    names = cls_names[:n - 1] + [str(i) for i in
+                                 range(len(cls_names), n - 1)] + ["background"]
     m = mat.astype(np.float64)
     if normalize:
         m = m / np.maximum(m.sum(0, keepdims=True), 1e-9)

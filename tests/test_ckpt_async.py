@@ -54,3 +54,20 @@ def test_async_writer_final_save_durable_after_close(tmp_path):
     restored = ckpt_io.restore_state(d, _state(0), step=7)
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.asarray(st.params["w"]))
+
+
+def test_best_json_round_trip(tmp_path):
+    """best.json seeds `best` across resume so a worse post-restart eval
+    can't overwrite the genuinely best one-slot snapshot."""
+    from heltondetection_tpu.configs.base import ExperimentConfig
+    from heltondetection_tpu.engine.runner import (_read_best_json,
+                                                   _write_best_json)
+    import os
+    cfg = ExperimentConfig(name="b", work_dir=str(tmp_path))
+    os.makedirs(os.path.join(str(tmp_path), "b"), exist_ok=True)
+    assert _read_best_json(cfg) == {}          # absent → empty
+    _write_best_json(cfg, {"AP": 0.42, "AP50": 0.6}, 100)
+    got = _read_best_json(cfg)
+    assert got["AP"] == 0.42 and got["step"] == 100
+    # a worse candidate must not beat the seeded best
+    assert not (0.35 > got.get("AP", -1))

@@ -205,6 +205,25 @@ def test_confusion_matrix_semantics(tmp_path):
     assert os.path.getsize(p) > 1000
 
 
+def test_confusion_matrix_ignore_no_steal_and_crowd_absorbs():
+    """An ignore/crowd gt must not steal a match from an overlapping real
+    gt, and a crowd region absorbs unlimited dets (none become FPs)."""
+    ev = DetEval(num_classes=2)
+    # real gt + same-spot ignore gt: the det must match the REAL one
+    ev.add_gt("im1", [[0, 0, 10, 10]], [0])
+    ev.add_gt("im1", [[0, 0, 12, 12]], [0], ignore=[1])
+    ev.add_det("im1", [[0, 0, 10, 10]], [0.9], [0])
+    # crowd region absorbing TWO dets: neither is an FP
+    ev.add_gt("im2", [[50, 50, 30, 30]], [1], iscrowd=[1])
+    ev.add_det("im2", [[52, 52, 10, 10], [60, 60, 10, 10]], [0.9, 0.8],
+               [1, 1])
+    m = ev.confusion_matrix()
+    assert m[0, 0] == 1          # real gt got its TP
+    assert m[2, 0] == 0          # ...and is not an FN
+    assert m[1, 2] == 0          # crowd absorbed both dets: no FPs
+    assert m.sum() == 1
+
+
 def test_pr_curves_png(tmp_path):
     """PR-curve artifact renders for both the ≤8-class colored regime and
     the many-class gray+mean regime."""
