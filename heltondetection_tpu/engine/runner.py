@@ -196,7 +196,8 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                     format_summary(stats))
         from heltondetection_tpu.utils.cocoeval import (format_classwise,
                                                         save_confusion_png,
-                                                        save_pr_curves_png)
+                                                        save_pr_curves_png,
+                                                        save_prf_curves_png)
         names = getattr(ds, "class_names", None) or cfg.data.class_names
         logger.info("per-class AP (mmdet classwise lineage):\n%s",
                     format_classwise(det.per_class_ap(), names))
@@ -207,8 +208,11 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             save_confusion_png(det.confusion_matrix(), names, cm_path)
             pr_path = os.path.join(art_dir, "pr_curve.png")
             save_pr_curves_png(det, names, pr_path)
+            prf_path = os.path.join(art_dir, "prf_curve.png")
+            save_prf_curves_png(det, names, prf_path)
             logger.info("eval artifacts: confusion matrix (conf 0.25, IoU "
-                        "0.45) → %s; PR curves @0.5 → %s", cm_path, pr_path)
+                        "0.45) → %s; PR curves @0.5 → %s; P/R/F1 vs conf "
+                        "→ %s", cm_path, pr_path, prf_path)
         except Exception as e:   # matplotlib is optional at runtime
             logger.info("eval artifact rendering unavailable: %s", e)
         try:

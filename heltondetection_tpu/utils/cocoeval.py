@@ -339,6 +339,50 @@ class DetEval:
                     mat[nc, gc] += 1      # FN: background row
         return mat
 
+    def prf_at_conf(self, conf_grid: Optional[np.ndarray] = None,
+                    iou: float = 0.5) -> Dict[int, Dict[str, np.ndarray]]:
+        """Precision/recall/F1 as functions of the confidence threshold
+        at one IoU (default 0.5) — the data behind the Ultralytics
+        P_curve/R_curve/F1_curve artifacts. Returns
+        ``{cat: {"conf", "P", "R", "F1"}}`` using the same greedy COCO
+        matching as accumulate() (ignored dets counted in neither TP nor
+        FP; recall over non-ignored gts)."""
+        if conf_grid is None:
+            conf_grid = np.linspace(0.0, 1.0, 101)
+        t = int(np.argwhere(np.isclose(self.iou_thrs, iou))[0][0])
+        area = AREA_RNG["all"]
+        max_det = MAX_DETS[-1]
+        cats = sorted(self._cat_ids) if self._cat_ids \
+            else list(range(self.num_classes))
+        imgs = sorted(self._img_ids, key=str)
+        out: Dict[int, Dict[str, np.ndarray]] = {}
+        for cat in cats:
+            scores, tp, ng = [], [], 0
+            for img in imgs:
+                e = self._evaluate_img(img, cat, area, max_det)
+                if e is None:
+                    continue
+                keep = ~e["dt_ignore"][t]
+                scores.append(e["dt_scores"][keep])
+                tp.append(e["dt_matched"][t][keep])
+                ng += e["num_gt"]
+            if not scores:
+                continue
+            s = np.concatenate(scores)
+            f = np.concatenate(tp)
+            order = np.argsort(-s, kind="mergesort")
+            s, f = s[order], f[order]
+            # dets with score >= c: -s is ascending, s_i >= c ⇔ -s_i <= -c
+            n_at = np.searchsorted(-s, -conf_grid, side="right")
+            tp_cum = np.concatenate([[0], np.cumsum(f)])
+            tp_at = tp_cum[n_at]
+            P = np.where(n_at > 0, tp_at / np.maximum(n_at, 1), 1.0)
+            R = tp_at / max(ng, 1) if ng else np.zeros_like(P)
+            F1 = np.where(P + R > 0, 2 * P * R / np.maximum(P + R, 1e-12),
+                          0.0)
+            out[int(cat)] = {"conf": conf_grid, "P": P, "R": R, "F1": F1}
+        return out
+
     def to_coco_json(self, label_to_cat: Optional[Dict[int, int]] = None
                      ) -> List[Dict]:
         """Accumulated detections as the standard COCO results list
@@ -512,6 +556,60 @@ def save_pr_curves_png(det: "DetEval",
         s.set_color("#c9c8c2")
     ax.tick_params(colors="#52514e")
     ax.legend(loc="lower left", fontsize=7, frameon=False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def save_prf_curves_png(det: "DetEval",
+                        class_names: Optional[Sequence[str]],
+                        path: str) -> None:
+    """Render P/R/F1 vs confidence @IoU 0.5 as three stacked panels (the
+    Ultralytics P_curve/R_curve/F1_curve artifacts in one figure). Same
+    color policy as :func:`save_pr_curves_png`: ≤8 classes colored in
+    fixed order, else gray with only the bold neutral mean; the mean-F1
+    peak is direct-labeled with its confidence."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    curves = det.prf_at_conf()
+    cats = sorted(curves)
+    names = list(class_names) if class_names else [str(c) for c in cats]
+    small = len(cats) <= len(_SERIES)
+    fig, axes = plt.subplots(3, 1, figsize=(7, 9), dpi=120, sharex=True)
+    fig.patch.set_facecolor("#fcfcfb")
+    for ax, key, ylab in zip(axes, ("P", "R", "F1"),
+                             ("Precision", "Recall", "F1")):
+        ax.set_facecolor("#fcfcfb")
+        for i, cat in enumerate(cats):
+            c = curves[cat]
+            label = names[cat] if cat < len(names) else str(cat)
+            if small:
+                ax.plot(c["conf"], c[key], color=_SERIES[i], linewidth=1.6,
+                        label=label if key == "P" else None)
+            else:
+                ax.plot(c["conf"], c[key], color="#c9c8c2", linewidth=0.8)
+        mean = np.mean([curves[cat][key] for cat in cats], axis=0)
+        ax.plot(curves[cats[0]]["conf"], mean, color="#0b0b0b",
+                linewidth=2.5, label="all classes" if key == "P" else None)
+        if key == "F1":
+            j = int(np.argmax(mean))
+            cbest = float(curves[cats[0]]["conf"][j])
+            ax.annotate(f"best F1 {mean[j]:.2f} @ conf {cbest:.2f}",
+                        (cbest, mean[j]), textcoords="offset points",
+                        xytext=(6, 6), fontsize=8, color="#0b0b0b")
+            ax.axvline(cbest, color="#c9c8c2", linewidth=0.8)
+        ax.set_ylim(0, 1.05)
+        ax.set_ylabel(ylab, color="#0b0b0b")
+        ax.grid(True, color="#e8e7e3", linewidth=0.6)
+        for sp in ax.spines.values():
+            sp.set_color("#c9c8c2")
+        ax.tick_params(colors="#52514e")
+    axes[0].legend(loc="lower left", fontsize=7, frameon=False)
+    axes[-1].set_xlim(0, 1)
+    axes[-1].set_xlabel("Confidence threshold", color="#0b0b0b")
+    axes[0].set_title("Precision / Recall / F1 vs confidence @ IoU 0.5",
+                      color="#0b0b0b")
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)

@@ -244,6 +244,28 @@ def test_pr_curves_png(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+def test_prf_at_conf_semantics(tmp_path):
+    """P/R/F1 vs confidence: analytic check — 2 gts, one TP at 0.9, one FP
+    at 0.6 → at conf ≤ 0.6: P=0.5, R=0.5; at conf in (0.6, 0.9]: P=1, R=0.5;
+    above 0.9: no dets → P defined as 1, R=0."""
+    ev = DetEval(num_classes=1)
+    ev.add_gt("im1", [[0, 0, 10, 10], [40, 40, 10, 10]], [0, 0])
+    ev.add_det("im1", [[0, 0, 10, 10], [80, 80, 5, 5]], [0.9, 0.6], [0, 0])
+    c = ev.prf_at_conf(conf_grid=np.array([0.0, 0.5, 0.7, 0.95]))[0]
+    np.testing.assert_allclose(c["P"], [0.5, 0.5, 1.0, 1.0])
+    np.testing.assert_allclose(c["R"], [0.5, 0.5, 0.5, 0.0])
+    np.testing.assert_allclose(c["F1"][2], 2 * 1.0 * 0.5 / 1.5)
+    # threshold exactly at a det's score includes it (>= semantics)
+    c2 = ev.prf_at_conf(conf_grid=np.array([0.6, 0.9]))[0]
+    np.testing.assert_allclose(c2["P"], [0.5, 1.0])
+    # renderer end-to-end
+    from heltondetection_tpu.utils.cocoeval import save_prf_curves_png
+    import os
+    p = str(tmp_path / "prf.png")
+    save_prf_curves_png(ev, ["thing"], p)
+    assert os.path.getsize(p) > 1000
+
+
 def test_format_classwise_runs():
     from heltondetection_tpu.utils.cocoeval import format_classwise
     ev = DetEval(num_classes=2)
