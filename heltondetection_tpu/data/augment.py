@@ -238,15 +238,42 @@ def random_affine(img: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     return out, boxes, classes
 
 
+def mixup_blend(a: np.ndarray, b: np.ndarray, r: float) -> np.ndarray:
+    """Pixel blend of two augmented uint8 images (ultralytics mixup: truncate
+    after the float mix). Shared by the Python and native-loader paths so
+    mixup stays bit-identical between them."""
+    return (a.astype(np.float32) * r +
+            b.astype(np.float32) * (1.0 - r)).astype(np.uint8)
+
+
+def mixup_draws(rng: np.random.Generator, mixup_p: float, n: int):
+    """The mixup decision draws, in the shared stream order: coin, partner
+    index, beta(32,32) weight. Returns (partner_or_None, r). Drawn only when
+    the knob is on, so mixup_p=0 reproduces pre-mixup streams exactly; used
+    identically by TrainPipeline and NativeTrainPipeline (lockstep)."""
+    if mixup_p <= 0.0 or n < 2:
+        return None, 1.0
+    mix = rng.uniform() < mixup_p
+    j = int(rng.integers(0, n))
+    r = float(rng.beta(32.0, 32.0))
+    return (j if mix else None), r
+
+
+# seed-sequence tag decoupling a mixup PARTNER's augmentation stream from the
+# same index's own per-(seed, epoch, idx) stream
+MIXUP_STREAM_TAG = 1
+
+
 class TrainPipeline:
     """Per-sample train-time augmentation: mosaic(p) → HSV → flip(0.5) →
-    letterbox (non-mosaic path) → cxcywh targets in input pixels."""
+    letterbox (non-mosaic path) → optional mixup(p) with a second
+    fully-augmented sample → cxcywh targets in input pixels."""
 
     def __init__(self, dataset, img_size: int, *, mosaic_p: float = 0.5,
                  hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
                  seed: int = 0, affine: bool = True,
                  affine_scale: float = 0.5, affine_translate: float = 0.1,
-                 degrees: float = 0.0):
+                 degrees: float = 0.0, mixup_p: float = 0.0):
         self.ds = dataset
         self.img_size = img_size
         self.mosaic_p = mosaic_p
@@ -258,13 +285,14 @@ class TrainPipeline:
         self.affine_scale = affine_scale
         self.affine_translate = affine_translate
         self.degrees = degrees
+        self.mixup_p = mixup_p
 
     def __len__(self):
         return len(self.ds)
 
-    def sample(self, idx: int, epoch: int = 0) -> Dict:
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch, idx]))
+    def _augment_one(self, idx: int, rng: np.random.Generator
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One fully-augmented (img, boxes, classes) drawing from ``rng``."""
         s = self.img_size
         if rng.uniform() < self.mosaic_p and len(self.ds) >= 4:
             others = rng.integers(0, len(self.ds), 3)
@@ -284,6 +312,24 @@ class TrainPipeline:
             img = random_hsv(img, rng)
         if rng.uniform() < self.flip_p:
             img, boxes = horizontal_flip(img, boxes)
+        return img, np.asarray(boxes, np.float32).reshape(-1, 4), \
+            np.asarray(classes).reshape(-1)
+
+    def sample(self, idx: int, epoch: int = 0) -> Dict:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        partner, r = mixup_draws(rng, self.mixup_p, len(self.ds))
+        img, boxes, classes = self._augment_one(idx, rng)
+        if partner is not None:
+            # blend with a SECOND fully-augmented sample (own mosaic/HSV/flip
+            # from a tagged stream) and take the union of the labels — the
+            # YOLOv5-v6.1 lineage's mixup (label weights are not used there)
+            rng2 = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, epoch, partner, MIXUP_STREAM_TAG]))
+            img2, boxes2, classes2 = self._augment_one(partner, rng2)
+            img = mixup_blend(img, img2, r)
+            boxes = np.concatenate([boxes, boxes2], axis=0)
+            classes = np.concatenate([classes, classes2], axis=0)
         # fixed-shape targets: cxcywh pixels + mask
         m = self.max_boxes
         gt = np.zeros((m, 4), np.float32)

@@ -33,6 +33,8 @@ import numpy as np
 
 from heltondetection_tpu.data.augment import (affine_boxes, affine_params,
                                               flip_boxes, hsv_params,
+                                              mixup_blend, mixup_draws,
+                                              MIXUP_STREAM_TAG,
                                               mosaic_boxes)
 from heltondetection_tpu.native import HdPlan, get_loader_lib
 
@@ -178,7 +180,8 @@ class NativeTrainPipeline(_NativePipelineBase):
                  hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
                  seed: int = 0, affine: bool = True,
                  affine_scale: float = 0.5, affine_translate: float = 0.1,
-                 degrees: float = 0.0, decode_in_pool: bool = False):
+                 degrees: float = 0.0, mixup_p: float = 0.0,
+                 decode_in_pool: bool = False):
         self.img_size = img_size
         self.mosaic_p = mosaic_p
         self.hsv = hsv
@@ -189,27 +192,86 @@ class NativeTrainPipeline(_NativePipelineBase):
         self.affine_scale = affine_scale
         self.affine_translate = affine_translate
         self.degrees = degrees
+        self.mixup_p = mixup_p
         self._init_native(dataset, decode_in_pool)
 
-    def sample_ids(self, idx: int, epoch: int) -> List[int]:
-        """Dataset indices ``plan(idx, epoch)`` will fetch — replays only
-        the draw PREFIX of plan() (mosaic coin + 3 tile picks), letting
-        sample_batch prefetch sources in parallel. Must stay in lockstep
-        with plan()'s first draws."""
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch, idx]))
+    def _tile_ids(self, idx: int, rng: np.random.Generator) -> List[int]:
+        """Replays _plan_one's draw prefix (mosaic coin + 3 tile picks)."""
         if rng.uniform() < self.mosaic_p and len(self.ds) >= 4:
             return [idx] + [int(j) for j in rng.integers(0, len(self.ds), 3)]
         return [idx]
 
-    def plan(self, idx: int, epoch: int, out: np.ndarray,
-             cache: Optional[Dict[int, Dict]] = None
-             ) -> Tuple[HdPlan, Dict[str, Any], List]:
-        """Returns (plan, targets, keepalive). ``out`` is the (S,S,3) uint8
-        slot the C++ side renders into; ``targets`` are the fixed-shape gt
-        arrays; ``keepalive`` holds the buffers the plan points at."""
+    def sample_ids(self, idx: int, epoch: int) -> List[int]:
+        """Dataset indices ``plan(idx, epoch)`` will fetch — replays only
+        the draw PREFIX of plan() (mixup draws, then the mosaic coin + 3
+        tile picks, then the mixup partner's own prefix), letting
+        sample_batch prefetch sources in parallel. Must stay in lockstep
+        with plan()'s first draws."""
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx]))
+        partner, _ = mixup_draws(rng, self.mixup_p, len(self.ds))
+        ids = self._tile_ids(idx, rng)
+        if partner is not None:
+            rng2 = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, epoch, partner, MIXUP_STREAM_TAG]))
+            ids += self._tile_ids(partner, rng2)
+        return ids
+
+    def plan(self, idx: int, epoch: int, out: np.ndarray,
+             cache: Optional[Dict[int, Dict]] = None
+             ) -> Tuple[List[HdPlan], Dict[str, Any], List, float]:
+        """Returns (plans, targets, keepalive, blend_r). ``out`` is the
+        (S,S,3) uint8 slot the C++ side renders into; ``targets`` are the
+        fixed-shape gt arrays; ``keepalive`` holds the buffers the plans
+        point at. With mixup active a SECOND plan renders the partner into
+        a scratch buffer (keepalive[-1]); the caller blends
+        ``out = mixup_blend(out, scratch, blend_r)`` after the pool runs —
+        identical pixels to TrainPipeline doing the same numpy blend."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        partner, blend_r = mixup_draws(rng, self.mixup_p, len(self.ds))
+        p, boxes, classes, keep = self._plan_one(idx, rng, out, cache)
+        plans = [p]
+        if partner is not None:
+            scratch = np.empty_like(out)
+            rng2 = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, epoch, partner, MIXUP_STREAM_TAG]))
+            p2, boxes2, classes2, keep2 = self._plan_one(
+                partner, rng2, scratch, cache)
+            plans.append(p2)
+            keep += keep2 + [scratch]
+            boxes = np.concatenate(
+                [boxes.reshape(-1, 4), boxes2.reshape(-1, 4)], axis=0)
+            classes = np.concatenate(
+                [np.asarray(classes).reshape(-1),
+                 np.asarray(classes2).reshape(-1)], axis=0)
+        else:
+            blend_r = 1.0
+
+        m = self.max_boxes
+        gt = np.zeros((m, 4), np.float32)
+        cl = np.zeros((m,), np.int32)
+        mask = np.zeros((m,), bool)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        classes = np.asarray(classes).reshape(-1)
+        n = min(len(classes), m)
+        if n:
+            b = boxes[:n]
+            gt[:n, 0] = (b[:, 0] + b[:, 2]) / 2
+            gt[:n, 1] = (b[:, 1] + b[:, 3]) / 2
+            gt[:n, 2] = b[:, 2] - b[:, 0]
+            gt[:n, 3] = b[:, 3] - b[:, 1]
+            cl[:n] = classes[:n]
+            mask[:n] = True
+        targets = {"gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
+        return plans, targets, keep, blend_r
+
+    def _plan_one(self, idx: int, rng: np.random.Generator, out: np.ndarray,
+                  cache: Optional[Dict[int, Dict]] = None
+                  ) -> Tuple[HdPlan, np.ndarray, np.ndarray, List]:
+        """One sample's render plan, drawing from ``rng`` in the same order
+        as TrainPipeline._augment_one. Returns (plan, boxes, classes,
+        keepalive)."""
         s = self.img_size
         p = HdPlan()
         p.S = s
@@ -260,50 +322,50 @@ class NativeTrainPipeline(_NativePipelineBase):
         if rng.uniform() < self.flip_p:
             p.do_flip = 1
             boxes = flip_boxes(boxes, s)
-
-        m = self.max_boxes
-        gt = np.zeros((m, 4), np.float32)
-        cl = np.zeros((m,), np.int32)
-        mask = np.zeros((m,), bool)
-        n = min(len(classes), m)
-        if n:
-            b = boxes[:n]
-            gt[:n, 0] = (b[:, 0] + b[:, 2]) / 2
-            gt[:n, 1] = (b[:, 1] + b[:, 3]) / 2
-            gt[:n, 2] = b[:, 2] - b[:, 0]
-            gt[:n, 3] = b[:, 3] - b[:, 1]
-            cl[:n] = classes[:n]
-            mask[:n] = True
-        targets = {"gt_boxes": gt, "gt_cls": cl, "gt_mask": mask}
-        return p, targets, keep
+        return p, np.asarray(boxes, np.float32).reshape(-1, 4), \
+            np.asarray(classes).reshape(-1), keep
 
     def sample(self, idx: int, epoch: int = 0) -> Dict:
         """Single-sample fallback (generic TrainLoader compatibility)."""
         out = np.empty((self.img_size, self.img_size, 3), np.uint8)
-        p, targets, keep = self.plan(idx, epoch, out)
-        self._lib.hd_run_plan(ctypes.byref(p))
-        _check_status(p.status, idx)
+        plans, targets, keep, blend_r = self.plan(idx, epoch, out)
+        for p in plans:
+            self._lib.hd_run_plan(ctypes.byref(p))
+            _check_status(p.status, idx)
+        if len(plans) == 2:
+            out[...] = mixup_blend(out, keep[-1], blend_r)
         return {"image": out, **targets}
 
     def sample_batch(self, idxs: Sequence[int], epoch: int,
                      pool: NativePool) -> Dict[str, np.ndarray]:
-        """Assemble a whole batch with one C++ pool call."""
+        """Assemble a whole batch with one C++ pool call (mixup partners
+        ride the same call as extra plans; their blends run host-side after
+        the pool returns)."""
         bsz = len(idxs)
         s = self.img_size
         images = np.empty((bsz, s, s, 3), np.uint8)
-        plans = (HdPlan * bsz)()
+        plan_list: List[HdPlan] = []
+        blends: List[Tuple[int, np.ndarray, float]] = []
         keeps: List = []
         tgt: List[Dict] = []
         cache = self._prefetch({j for idx in idxs
                                 for j in self.sample_ids(int(idx), epoch)})
+        owners: List[int] = []
         for i, idx in enumerate(idxs):
-            p, targets, keep = self.plan(int(idx), epoch, images[i], cache)
-            plans[i] = p
+            ps, targets, keep, blend_r = self.plan(int(idx), epoch,
+                                                   images[i], cache)
+            plan_list.extend(ps)
+            owners.extend([int(idx)] * len(ps))
+            if len(ps) == 2:
+                blends.append((i, keep[-1], blend_r))
             keeps.append(keep)
             tgt.append(targets)
-        pool.run(plans, bsz)
-        for i in range(bsz):
-            _check_status(plans[i].status, idxs[i])
+        plans = (HdPlan * len(plan_list))(*plan_list)
+        pool.run(plans, len(plan_list))
+        for p, owner in zip(plans, owners):
+            _check_status(p.status, owner)
+        for i, scratch, blend_r in blends:
+            images[i] = mixup_blend(images[i], scratch, blend_r)
         return {
             "image": images,
             "gt_boxes": np.stack([t["gt_boxes"] for t in tgt]),

@@ -286,6 +286,10 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     model = build_model(cfg.model, nc)
 
     device_aug = cfg.train.device_aug and cfg.model.family == "yolov5"
+    if device_aug and cfg.train.mixup_p > 0:
+        logger.info("mixup_p > 0: device_aug path has no mixup — using the "
+                    "host augmentation pipeline")
+        device_aug = False
     if device_aug:
         pipe = None
         if cfg.train.native_loader:
@@ -319,12 +323,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                 pipe = NativeTrainPipeline(
                     ds, cfg.model.img_size, mosaic_p=cfg.train.mosaic_p,
                     hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                    mixup_p=cfg.train.mixup_p,
                     max_boxes=cfg.data.max_boxes, seed=cfg.train.seed,
                     decode_in_pool=cfg.train.decode_in_pool)
         if pipe is None:
             pipe = TrainPipeline(ds, cfg.model.img_size,
                                  mosaic_p=cfg.train.mosaic_p,
                                  hsv=cfg.train.hsv, flip_p=cfg.train.flip_p,
+                                 mixup_p=cfg.train.mixup_p,
                                  max_boxes=cfg.data.max_boxes,
                                  seed=cfg.train.seed)
         loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,

@@ -111,6 +111,45 @@ def test_train_pipeline_deterministic(coco_ds):
     assert not np.array_equal(a["image"], c["image"])  # epoch changes aug
 
 
+def test_mixup_blends_pixels_and_unions_labels(coco_ds):
+    from heltondetection_tpu.data.augment import (MIXUP_STREAM_TAG,
+                                                  letterbox_np, mixup_blend,
+                                                  mixup_draws)
+    # geometry-only pipeline (mosaic/HSV/flip off) so the expected mixup
+    # output is exactly blend(letterbox(idx), letterbox(partner), r)
+    pipe = TrainPipeline(coco_ds, 64, mosaic_p=0.0, hsv=False, flip_p=0.0,
+                         mixup_p=1.0, max_boxes=32, seed=5)
+    out = pipe.sample(0, epoch=0)
+    # replay the decision draws (coin, partner, beta weight)
+    rng = np.random.default_rng(np.random.SeedSequence([5, 0, 0]))
+    partner, r = mixup_draws(rng, 1.0, len(coco_ds))
+    assert partner is not None and 0.0 < r < 1.0
+    raw_a = coco_ds.load(0)
+    raw_b = coco_ds.load(partner)
+    img_a, box_a, _ = letterbox_np(raw_a["image"], raw_a["boxes"], 64)
+    img_b, box_b, _ = letterbox_np(raw_b["image"], raw_b["boxes"], 64)
+    np.testing.assert_array_equal(out["image"],
+                                  mixup_blend(img_a, img_b, r))
+    # labels are the union of both samples' boxes, in order
+    n = min(len(raw_a["classes"]) + len(raw_b["classes"]), 32)
+    assert int(out["gt_mask"].sum()) == n
+    both = np.concatenate([box_a.reshape(-1, 4), box_b.reshape(-1, 4)])[:n]
+    got = out["gt_boxes"][:n]
+    np.testing.assert_allclose(got[:, 0], (both[:, 0] + both[:, 2]) / 2,
+                               atol=1e-5)
+    # deterministic
+    out2 = pipe.sample(0, epoch=0)
+    np.testing.assert_array_equal(out["image"], out2["image"])
+    # mixup_p=0 keeps the pre-mixup stream (no extra draws consumed)
+    off_a = TrainPipeline(coco_ds, 64, mosaic_p=1.0, max_boxes=32, seed=9)
+    off_b = TrainPipeline(coco_ds, 64, mosaic_p=1.0, max_boxes=32, seed=9,
+                          mixup_p=0.0)
+    np.testing.assert_array_equal(off_a.sample(1, 2)["image"],
+                                  off_b.sample(1, 2)["image"])
+    assert MIXUP_STREAM_TAG == 1  # ckpt'd constant: partner streams are
+    # seeded [seed, epoch, partner, 1]; changing it changes every mixup draw
+
+
 def test_train_loader_shapes_and_determinism(coco_ds):
     pipe = TrainPipeline(coco_ds, 64, mosaic_p=0.5, max_boxes=32, seed=1)
     loader = TrainLoader(pipe, batch_size=4, seed=1, num_workers=4)

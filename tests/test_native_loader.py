@@ -114,6 +114,42 @@ def test_train_pipeline_matches_python(coco, mosaic_p, affine):
             assert np.array_equal(a["gt_mask"], b["gt_mask"])
 
 
+def test_train_pipeline_matches_python_with_mixup(coco):
+    """Mixup (second plan + host-side blend) stays bit-identical to the
+    Python pipeline's blend of two fully-augmented samples."""
+    py = _py_train(coco, mosaic_p=0.5, affine=False, mixup_p=0.6, seed=13)
+    nat = _native_train(coco, mosaic_p=0.5, affine=False, mixup_p=0.6,
+                        seed=13)
+    mixed = 0
+    for epoch in (0, 1):
+        for idx in range(len(coco)):
+            a = py.sample(idx, epoch)
+            b = nat.sample(idx, epoch)
+            assert np.array_equal(a["image"], b["image"]), (epoch, idx)
+            assert np.array_equal(a["gt_boxes"], b["gt_boxes"])
+            assert np.array_equal(a["gt_cls"], b["gt_cls"])
+            assert np.array_equal(a["gt_mask"], b["gt_mask"])
+            plans, _, _, _ = nat.plan(
+                idx, epoch, np.empty((96, 96, 3), np.uint8))
+            mixed += len(plans) == 2
+    assert mixed > 0  # the coin actually triggered some mixups
+
+
+def test_pool_batch_equals_per_sample_with_mixup(coco):
+    from heltondetection_tpu.data.native_loader import NativePool
+    nat = _native_train(coco, mosaic_p=0.5, affine=False, mixup_p=0.7,
+                        seed=2)
+    pool = NativePool(4)
+    idxs = list(range(8))
+    batch = nat.sample_batch(idxs, epoch=1, pool=pool)
+    for i, idx in enumerate(idxs):
+        one = nat.sample(idx, 1)
+        assert np.array_equal(batch["image"][i], one["image"])
+        assert np.array_equal(batch["gt_boxes"][i], one["gt_boxes"])
+        assert np.array_equal(batch["gt_mask"][i], one["gt_mask"])
+    pool.close()
+
+
 def test_pool_batch_equals_per_sample(coco):
     from heltondetection_tpu.data.native_loader import NativePool
     nat = _native_train(coco, mosaic_p=0.7, seed=1)
