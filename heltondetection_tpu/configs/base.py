@@ -52,6 +52,13 @@ class ModelConfig:
     # the backward re-runs each stage instead of holding its activations —
     # ~1/3 extra backbone FLOPs for O(boundary) activation memory. The TPU
     # answer to HBM-bound high-res/large-batch training; math is identical
+    # faster_rcnn proposal/sampling budgets (None = torchvision defaults:
+    # 1000/1000 proposals, 256 RPN rows, 512 box rows — the mmdet/
+    # torchvision constructor knobs; shrink for small images or tight HBM)
+    rpn_pre_nms_topk: Optional[int] = None    # per-level pre-NMS top-k
+    rpn_post_nms_topk: Optional[int] = None   # proposals kept per image
+    rpn_batch: Optional[int] = None           # sampled RPN anchors/image
+    box_batch: Optional[int] = None           # sampled rois/image
 
 
 @dataclass

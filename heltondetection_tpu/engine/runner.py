@@ -72,6 +72,10 @@ def build_model(mc, num_classes: int):
     if mc.family == "faster_rcnn":
         from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
                                                             RCNNConfig)
+        # proposal/sampling budgets: None keeps the torchvision defaults
+        budgets = {k: v for k in ("rpn_pre_nms_topk", "rpn_post_nms_topk",
+                                  "rpn_batch", "box_batch")
+                   if (v := getattr(mc, k, None)) is not None}
         rcfg = RCNNConfig(num_classes=num_classes, img_size=mc.img_size,
                           neck=mc.neck, head=mc.head,
                           roi_method=mc.roi_method,
@@ -80,7 +84,7 @@ def build_model(mc, num_classes: int):
                           backbone=mc.backbone or "resnet50",
                           backbone_norm_eval=mc.backbone_norm_eval,
                           backbone_frozen_stages=mc.backbone_frozen_stages,
-                          remat=getattr(mc, "remat", False))
+                          remat=getattr(mc, "remat", False), **budgets)
         return FasterRCNN(rcfg, dtype=dtype)
     raise ValueError(f"unknown model family {mc.family}")
 
@@ -231,8 +235,14 @@ def _load_eval_variables(cfg: ExperimentConfig, model):
     the lineage's best.pt) instead of the newest rotating checkpoint."""
     from heltondetection_tpu.train.schedule import make_optimizer
     from heltondetection_tpu.train.trainer import create_train_state
+    # the optimizer is only a restore-shape donor, but it must match the
+    # TRAIN-side opt_state tree exactly (freeze masking wraps the state in
+    # a multi_transform dict; grad_clip changes the chain arity) or orbax
+    # rejects the checkpoint
     tx = make_optimizer(cfg.train.lr, total_steps=100, warmup_steps=10,
-                        weight_decay=cfg.train.weight_decay)
+                        weight_decay=cfg.train.weight_decay,
+                        grad_clip=cfg.train.grad_clip,
+                        frozen_prefixes=_frozen_prefixes(cfg.model))
     if cfg.model.family == "faster_rcnn":
         from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
         from heltondetection_tpu.train.trainer import TrainState
@@ -473,10 +483,9 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         # halo-exchanges conv boundaries over ICI) — resolutions past one
         # chip's HBM train without model changes (SURVEY.md §5 analog)
         from heltondetection_tpu.parallel.spatial import create_spatial_mesh
-        if cfg.model.family != "yolov5":
-            raise ValueError("spatial_shards currently supports the yolov5 "
-                             "family (RCNN RoI gathers are unvalidated "
-                             "under spatial sharding)")
+        # both families: GSPMD halo-exchanges the convs; the RCNN RoI row
+        # gathers read the H-sharded pyramid through XLA-inserted
+        # collectives (equivalence pinned in tests/test_parallel_spatial)
         if device_aug:
             raise ValueError("spatial_shards composes with the host loader "
                              "path, not device_aug (tile layouts differ)")

@@ -142,6 +142,57 @@ def test_export_faster_rcnn_roundtrip(tmp_path):
     assert valid.shape == (1, model.cfg.max_det)
 
 
+def test_cli_faster_rcnn_train_eval_test(tmp_path):
+    """The two-stage family through the SAME public one-command path the
+    YOLO fixture exercises above (train → eval → test+heatmaps). Round 1
+    shipped an export crash precisely because no CLI e2e ran FasterRCNN;
+    this closes that class of gap. Uses the ModelConfig proposal-budget
+    knobs (torchvision constructor equivalents) to keep the tiny run fast."""
+    root = str(tmp_path)
+    ann, imgs = build_coco_dataset(root, n_images=8, hw=(96, 128))
+    cfg_path = os.path.join(root, "cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(textwrap.dedent(f"""
+            from heltondetection_tpu.configs.base import (
+                DataConfig, EvalConfig, ExperimentConfig, ModelConfig,
+                TestConfig, TrainConfig)
+
+            config = ExperimentConfig(
+                name="tiny_rcnn",
+                work_dir={os.path.join(root, 'runs')!r},
+                data=DataConfig(format="coco", train_ann={ann!r},
+                                train_imgs={imgs!r}, val_ann={ann!r},
+                                val_imgs={imgs!r}, max_boxes=16),
+                model=ModelConfig(family="faster_rcnn", backbone="resnet18",
+                                  num_classes=4, img_size=64,
+                                  rpn_pre_nms_topk=64, rpn_post_nms_topk=32,
+                                  rpn_batch=16, box_batch=16),
+                train=TrainConfig(epochs=2, batch_size=4, lr=1e-4,
+                                  mosaic_p=0.0, hsv=False, flip_p=0.0,
+                                  warmup_epochs=1, num_workers=2,
+                                  eval_interval=1000, ckpt_interval=1),
+                eval=EvalConfig(batch_size=4, conf_thres=0.05, max_det=16),
+                test=TestConfig(conf_thres=0.05, save_heatmaps=True),
+            )
+        """))
+    assert cli_main(["--mode", "train", "--config", cfg_path]) == 0
+    ckpt_dir = os.path.join(root, "runs", "tiny_rcnn", "ckpt")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    assert cli_main(["--mode", "eval", "--config", cfg_path]) == 0
+
+    img_path = os.path.join(imgs, sorted(os.listdir(imgs))[0])
+    out_path = os.path.join(root, "out.png")
+    assert cli_main(["--mode", "test", "--config", cfg_path,
+                     "--source", img_path, "--out", out_path]) == 0
+    assert os.path.exists(out_path)
+    # demo-parity per-level FPN + RPN-objectness panels for the two-stage
+    # family (demo/1.jpg [D] heatmap rows)
+    stem = os.path.splitext(out_path)[0]
+    assert os.path.exists(stem + "_heatmaps.png")
+    assert os.path.exists(stem + "_objmaps.png")
+
+
 def test_all_shipped_configs_load_and_build():
     """Every experiment config mirrors a reference table row (SURVEY.md §6)
     and must construct a model (catches stale field names/backbones)."""
