@@ -375,9 +375,14 @@ def assign_rpn_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     fg = best_iou >= cfg.rpn_fg_iou
     bg = best_iou < cfg.rpn_bg_iou  # incl. the no-gt case (iou = −1)
     # low-quality matches: anchors that are argmax for some gt become fg
-    # (ties included via == max, torchvision behavior)
+    # (ties included via == max, torchvision behavior). The comparison
+    # carries a 1-ulp slack: XLA may recompute the IoU inside the max's
+    # fusion with different FMA contraction (observed 1-ulp drift between
+    # sharding layouts), and an EXACT == would then drop every low-quality
+    # match for that gt; the slack admits only boxes within float rounding
+    # of the true max (same keep set as torchvision's tie rule)
     gt_best_iou = jnp.max(iou, axis=0)                    # (M,)
-    low_q = jnp.any((iou == gt_best_iou[None, :]) & gt_mask[None, :] &
+    low_q = jnp.any((iou >= gt_best_iou[None, :] - 1e-6) & gt_mask[None, :] &
                     (iou > 0), axis=1)
     fg = fg | low_q
     bg = bg & ~fg
