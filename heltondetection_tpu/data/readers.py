@@ -1,6 +1,7 @@
 """Dataset readers: COCO-JSON, YOLO-txt, DOTA horizontal-box — rebuild
 targets C5 / C6 / C6b (SURVEY.md §2a; README.md:10 "支持COCO, YOLO, DOTA标注格式
-数据集读取").
+数据集读取") — plus Pascal-VOC XML (the reference's VOC0712 rows, which its
+shipped formats needed an offline conversion for).
 
 Host-side and framework-free: each reader maps an index → a raw sample dict
 ``{image (H,W,3 uint8 RGB), boxes_xyxy (N,4) float32, classes (N,) int32,
@@ -263,6 +264,102 @@ class DOTADataset:
                 xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
                                  b[:, 3] - b[:, 1]], 1)
                 det_eval.add_gt(s["img_id"], xywh, s["classes"])
+
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+
+
+class VOCDataset:
+    """Pascal-VOC XML reader. The reference's VOC0712 experiment rows
+    (README.md:67-79,109-115) are its strongest FasterRCNN baselines and
+    its FasterRCNN lineage repo trains from VOCdevkit layout directly
+    (README.md:158 "可以利用voc数据集格式的数据进行训练"); this reader removes the
+    offline VOC→COCO conversion the three shipped formats would require.
+
+    ``ann``: either the Annotations/ directory (every .xml is a sample) or
+    an ImageSets/Main split .txt (one image stem per line; Annotations/ is
+    resolved as ``../../Annotations`` per the VOCdevkit layout).
+    ``difficult`` objects become ``iscrowd=1``: DetEval then treats them as
+    ignore regions — detections matching them are neither rewarded nor
+    penalized, the COCO-semantics analog of VOC's difficult-exclusion rule.
+    """
+
+    def __init__(self, ann: str, img_dir: str,
+                 class_names: Optional[Sequence[str]] = None):
+        import glob
+        self.img_dir = img_dir
+        self.class_names = list(class_names) if class_names \
+            else list(VOC_CLASSES)
+        self.name_to_label = {n: i for i, n in enumerate(self.class_names)}
+        self.label_to_cat = None  # labels are already contiguous
+        if os.path.isdir(ann):
+            self.ann_dir = ann
+            self.stems = sorted(os.path.splitext(f)[0]
+                                for f in os.listdir(ann)
+                                if f.endswith(".xml"))
+        else:  # ImageSets/Main/<split>.txt
+            self.ann_dir = os.path.normpath(
+                os.path.join(os.path.dirname(ann), "..", "..",
+                             "Annotations"))
+            with open(ann) as f:
+                # lines may be "stem" or "stem 1/-1" (per-class splits)
+                self.stems = [ln.split()[0] for ln in f
+                              if ln.strip() and not ln.split()[0].isspace()]
+
+    def __len__(self):
+        return len(self.stems)
+
+    @property
+    def num_classes(self):
+        return len(self.class_names)
+
+    def _parse(self, stem: str):
+        import xml.etree.ElementTree as ET
+        root = ET.parse(os.path.join(self.ann_dir, stem + ".xml")).getroot()
+        fname = root.findtext("filename") or (stem + ".jpg")
+        boxes, classes, difficult = [], [], []
+        for obj in root.iter("object"):
+            name = (obj.findtext("name") or "").strip()
+            if name not in self.name_to_label:
+                continue
+            bb = obj.find("bndbox")
+            # VOC pixel indices are 1-based inclusive
+            x1 = float(bb.findtext("xmin")) - 1.0
+            y1 = float(bb.findtext("ymin")) - 1.0
+            x2 = float(bb.findtext("xmax")) - 1.0
+            y2 = float(bb.findtext("ymax")) - 1.0
+            if x2 <= x1 or y2 <= y1:
+                continue
+            boxes.append([x1, y1, x2, y2])
+            classes.append(self.name_to_label[name])
+            difficult.append(int(obj.findtext("difficult") or 0))
+        return fname, boxes, classes, difficult
+
+    def load(self, idx: int) -> Dict:
+        stem = self.stems[idx]
+        fname, boxes, classes, difficult = self._parse(stem)
+        img = imread_rgb(os.path.join(self.img_dir, fname))
+        return {
+            "image": img,
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "iscrowd": np.asarray(difficult, np.int32),
+            "img_id": stem,
+            "file": fname,
+        }
+
+    def gt_for_eval(self, det_eval):
+        for idx in range(len(self)):
+            stem = self.stems[idx]
+            _, boxes, classes, difficult = self._parse(stem)
+            if boxes:
+                b = np.asarray(boxes, np.float32)
+                xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
+                                 b[:, 3] - b[:, 1]], 1)
+                det_eval.add_gt(stem, xywh, classes, iscrowd=difficult)
 
 
 class CachedDataset:

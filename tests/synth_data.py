@@ -108,3 +108,49 @@ def build_dota_dataset(root, n_images=3, hw=(96, 128), num_classes=4, seed=0):
                 f.write(f"{x1} {y1} {x2} {y1} {x2} {y2} {x1} {y2} "
                         f"{names[c]} 0\n")
     return img_dir, lbl_dir, names
+
+
+def build_voc_dataset(root, n_images=4, hw=(96, 128), num_classes=4, seed=0):
+    """VOCdevkit layout: Annotations/*.xml + JPEGImages/*.jpg +
+    ImageSets/Main/val.txt. Returns (ann_dir, img_dir, split_file, names).
+    The LAST object of image 0 is marked difficult=1."""
+    rng = np.random.default_rng(seed)
+    ann_dir = os.path.join(root, "Annotations")
+    img_dir = os.path.join(root, "JPEGImages")
+    set_dir = os.path.join(root, "ImageSets", "Main")
+    for d in (ann_dir, img_dir, set_dir):
+        os.makedirs(d, exist_ok=True)
+    names = [f"class{c}" for c in range(num_classes)]
+    stems = []
+    for i in range(n_images):
+        h, w = hw
+        img, boxes, classes = make_image_with_boxes(rng, h, w,
+                                                    num_classes=num_classes)
+        stem = f"voc_{i:04d}"
+        stems.append(stem)
+        cv2.imwrite(os.path.join(img_dir, stem + ".png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        objs = []
+        for j, (b, c) in enumerate(zip(boxes, classes)):
+            x1, y1, bw, bh = b
+            diff = 1 if (i == 0 and j == len(boxes) - 1) else 0
+            objs.append(
+                "  <object>\n"
+                f"    <name>{names[c]}</name>\n"
+                f"    <difficult>{diff}</difficult>\n"
+                "    <bndbox>\n"
+                f"      <xmin>{x1 + 1:.1f}</xmin>"
+                f"<ymin>{y1 + 1:.1f}</ymin>"
+                f"<xmax>{x1 + bw + 1:.1f}</xmax>"
+                f"<ymax>{y1 + bh + 1:.1f}</ymax>\n"
+                "    </bndbox>\n  </object>")
+        with open(os.path.join(ann_dir, stem + ".xml"), "w") as f:
+            f.write("<annotation>\n"
+                    f"  <filename>{stem}.png</filename>\n"
+                    f"  <size><width>{w}</width><height>{h}</height>"
+                    "<depth>3</depth></size>\n"
+                    + "\n".join(objs) + "\n</annotation>\n")
+    split_file = os.path.join(set_dir, "val.txt")
+    with open(split_file, "w") as f:
+        f.write("\n".join(stems) + "\n")
+    return ann_dir, img_dir, split_file, names

@@ -7,9 +7,9 @@ from heltondetection_tpu.data.augment import (EvalPipeline, TrainPipeline,
                                               random_hsv)
 from heltondetection_tpu.data.loader import EvalLoader, TrainLoader
 from heltondetection_tpu.data.readers import (COCODataset, DOTADataset,
-                                              YOLODataset)
+                                              VOCDataset, YOLODataset)
 from synth_data import (build_coco_dataset, build_dota_dataset,
-                        build_yolo_dataset)
+                        build_voc_dataset, build_yolo_dataset)
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +49,44 @@ def test_dota_reader(tmp_path):
     s = ds.load(0)
     assert len(s["boxes"]) >= 1
     assert (s["boxes"][:, 2] > s["boxes"][:, 0]).all()
+
+
+def test_voc_reader(tmp_path):
+    """VOC XML reader: Annotations-dir mode, split-file mode, 1-based box
+    convention, and difficult→iscrowd (ignore-region) mapping."""
+    ann_dir, img_dir, split_file, names = build_voc_dataset(str(tmp_path))
+    ds = VOCDataset(ann_dir, img_dir, names)
+    assert len(ds) == 4 and ds.num_classes == 4
+    s0 = ds.load(0)
+    assert len(s0["boxes"]) >= 1
+    assert (s0["boxes"][:, 2] > s0["boxes"][:, 0]).all()
+    # builder marks the LAST object of image 0 difficult
+    assert s0["iscrowd"][-1] == 1 and (s0["iscrowd"][:-1] == 0).all()
+
+    # split-file mode resolves ../../Annotations and reads the same samples
+    ds2 = VOCDataset(split_file, img_dir, names)
+    assert len(ds2) == 4
+    np.testing.assert_allclose(ds2.load(0)["boxes"], s0["boxes"])
+
+    # same seed → VOC boxes equal the COCO builder's (xml round-trip exact)
+    ann, imgs = build_coco_dataset(str(tmp_path / "c"), n_images=4, seed=0)
+    sc = COCODataset(ann, imgs).load(0)
+    np.testing.assert_allclose(np.sort(s0["boxes"], 0),
+                               np.sort(sc["boxes"], 0), atol=1e-4)
+
+    # difficult gts register as ignore regions with the evaluator
+    from heltondetection_tpu.utils.cocoeval import DetEval
+    de = DetEval(4)
+    ds.gt_for_eval(de)
+
+    # build_dataset dispatch ("voc" format)
+    from heltondetection_tpu.configs.base import DataConfig
+    from heltondetection_tpu.engine.runner import build_dataset
+    dc = DataConfig(format="voc", train_ann=ann_dir, train_imgs=img_dir,
+                    val_ann=split_file, val_imgs=img_dir,
+                    class_names=names)
+    assert len(build_dataset(dc, "train")) == 4
+    assert len(build_dataset(dc, "val")) == 4
 
 
 def test_yolo_vs_coco_same_content(tmp_path):
