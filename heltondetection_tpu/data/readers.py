@@ -289,7 +289,6 @@ class VOCDataset:
 
     def __init__(self, ann: str, img_dir: str,
                  class_names: Optional[Sequence[str]] = None):
-        import glob
         self.img_dir = img_dir
         self.class_names = list(class_names) if class_names \
             else list(VOC_CLASSES)
