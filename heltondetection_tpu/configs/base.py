@@ -91,8 +91,9 @@ class TrainConfig:
     spatial_shards: int = 1   # shard the image H axis over this many mesh
     # columns (parallel/spatial.py): a (devices/sp × sp) data×spatial mesh
     # lets resolutions beyond one chip's HBM train (beyond-reference;
-    # SURVEY.md §5 long-context analog). YOLO family; img_size must be
-    # divisible by spatial_shards*32 so every pyramid level splits evenly
+    # SURVEY.md §5 long-context analog). Both families; img_size must be
+    # divisible by spatial_shards times the coarsest pyramid stride (32
+    # YOLO, 64 FasterRCNN P6) so every pyramid level splits evenly
     focal: str = "none"               # none | root | root_cls (README.md:117)
     label_smoothing: float = 0.0
     seed: int = 0

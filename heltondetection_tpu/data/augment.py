@@ -18,6 +18,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from heltondetection_tpu.data.readers import drop_ignore_boxes
+
 try:
     import cv2
 except ImportError:  # pragma: no cover
@@ -296,8 +298,8 @@ class TrainPipeline:
         s = self.img_size
         if rng.uniform() < self.mosaic_p and len(self.ds) >= 4:
             others = rng.integers(0, len(self.ds), 3)
-            samples = [self.ds.load(idx)] + [self.ds.load(int(j))
-                                             for j in others]
+            samples = [drop_ignore_boxes(self.ds.load(idx))] + [
+                drop_ignore_boxes(self.ds.load(int(j))) for j in others]
             img, boxes, classes = mosaic4(samples, s, rng)
             if self.affine:  # lineage: random_perspective follows mosaic
                 img, boxes, classes = random_affine(
@@ -305,7 +307,7 @@ class TrainPipeline:
                     translate=self.affine_translate,
                     scale=self.affine_scale)
         else:
-            raw = self.ds.load(idx)
+            raw = drop_ignore_boxes(self.ds.load(idx))
             img, boxes, _ = letterbox_np(raw["image"], raw["boxes"], s)
             classes = raw["classes"]
         if self.hsv:
@@ -384,7 +386,7 @@ class DeviceAugPipeline:
         cls4 = np.zeros((4, m), np.int32)
         mask4 = np.zeros((4, m), bool)
         for t, j in enumerate(ids):
-            raw = self.ds.load(j)
+            raw = drop_ignore_boxes(self.ds.load(j))
             img, b, _ = letterbox_np(raw["image"], raw["boxes"], s)
             images[t] = img
             n = min(len(raw["classes"]), m)

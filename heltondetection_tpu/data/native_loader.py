@@ -31,6 +31,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from heltondetection_tpu.data.readers import drop_ignore_boxes
 from heltondetection_tpu.data.augment import (affine_boxes, affine_params,
                                               flip_boxes, hsv_params,
                                               mixup_blend, mixup_draws,
@@ -282,8 +283,9 @@ class NativeTrainPipeline(_NativePipelineBase):
         use_mosaic = rng.uniform() < self.mosaic_p and len(self.ds) >= 4
         if use_mosaic:
             others = rng.integers(0, len(self.ds), 3)
-            raws = [self._fetch(idx, cache)] + [self._fetch(int(j), cache)
-                                                for j in others]
+            raws = [drop_ignore_boxes(self._fetch(idx, cache))] + [
+                drop_ignore_boxes(self._fetch(int(j), cache))
+                for j in others]
             p.mode = 1
             p.n_tiles = 4
             # mosaic4's draws, same order
@@ -301,7 +303,7 @@ class NativeTrainPipeline(_NativePipelineBase):
                 ctypes.memmove(p.m, rot64.ctypes.data, 6 * 8)
                 boxes, classes = affine_boxes(boxes, classes, rot, sc, s, s)
         else:
-            raw = self._fetch(idx, cache)
+            raw = drop_ignore_boxes(self._fetch(idx, cache))
             p.mode = 0
             p.n_tiles = 1
             _set_src(p, 0, raw, keep)
@@ -488,7 +490,7 @@ class NativeDeviceAugPipeline(_NativePipelineBase):
         plans: List[HdPlan] = []
         keep: List = [out4]
         for t, j in enumerate(ids):
-            raw = self._fetch(j, cache)
+            raw = drop_ignore_boxes(self._fetch(j, cache))
             p = HdPlan()
             p.mode = 0
             p.n_tiles = 1

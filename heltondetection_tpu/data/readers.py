@@ -25,6 +25,24 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def drop_ignore_boxes(raw: Dict) -> Dict:
+    """Train-time GT excludes ignore boxes (COCO ``iscrowd=1`` / VOC
+    ``difficult``): the reference's lineage never trains on them —
+    Ultralytics drops iscrowd=1 when converting COCO labels,
+    py-faster-rcnn defaults to use_diff=False, mmdet routes them to
+    bboxes_ignore. They still reach :meth:`gt_for_eval` as ignore
+    regions, where DetEval neither rewards nor penalizes matches."""
+    crowd = raw.get("iscrowd")
+    if crowd is None or len(crowd) == 0 or not np.any(crowd):
+        return raw
+    keep = np.asarray(crowd) == 0
+    out = dict(raw)
+    out["boxes"] = raw["boxes"][keep]
+    out["classes"] = raw["classes"][keep]
+    out["iscrowd"] = raw["iscrowd"][keep]
+    return out
+
+
 def imread_rgb(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
@@ -282,9 +300,11 @@ class VOCDataset:
     ``ann``: either the Annotations/ directory (every .xml is a sample) or
     an ImageSets/Main split .txt (one image stem per line; Annotations/ is
     resolved as ``../../Annotations`` per the VOCdevkit layout).
-    ``difficult`` objects become ``iscrowd=1``: DetEval then treats them as
-    ignore regions — detections matching them are neither rewarded nor
-    penalized, the COCO-semantics analog of VOC's difficult-exclusion rule.
+    ``difficult`` objects become ``iscrowd=1``: the train pipelines drop
+    them from the GT (:func:`drop_ignore_boxes` — py-faster-rcnn
+    ``use_diff=False``) and DetEval treats them as ignore regions —
+    detections matching them are neither rewarded nor penalized, the
+    COCO-semantics analog of VOC's difficult-exclusion rule.
     """
 
     def __init__(self, ann: str, img_dir: str,
@@ -305,8 +325,7 @@ class VOCDataset:
                              "Annotations"))
             with open(ann) as f:
                 # lines may be "stem" or "stem 1/-1" (per-class splits)
-                self.stems = [ln.split()[0] for ln in f
-                              if ln.strip() and not ln.split()[0].isspace()]
+                self.stems = [ln.split()[0] for ln in f if ln.strip()]
 
     def __len__(self):
         return len(self.stems)

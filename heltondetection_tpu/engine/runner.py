@@ -253,10 +253,11 @@ def _load_eval_variables(cfg: ExperimentConfig, model):
                              cfg.model.img_size)
         state = TrainState(v["params"], v["batch_stats"],
                            tx.init(v["params"]), jnp.zeros((), jnp.int32),
-                           v["params"])
+                           v["params"] if cfg.train.ema else None)
     else:
         state = create_train_state(model, jax.random.PRNGKey(0),
-                                   cfg.model.img_size, tx)
+                                   cfg.model.img_size, tx,
+                                   use_ema=cfg.train.ema)
     ckpt_dir = cfg.ckpt_dir
     if getattr(cfg.eval, "ckpt", "last") == "best":
         if ckpt_io.latest_step(cfg.best_ckpt_dir) is not None:
@@ -497,11 +498,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                 f"spatial_shards={sp} needs devices ({n_dev}) divisible by "
                 f"it and batch_size ({cfg.train.batch_size}) divisible by "
                 f"the data axis ({n_dev // sp})")
-        if cfg.model.img_size % (sp * 32):
+        # coarsest pyramid stride: 32 for the YOLO P3-P5 head, 64 for the
+        # FasterRCNN P2-P6 pyramid (P6 rows must also split evenly)
+        max_stride = 64 if cfg.model.family == "faster_rcnn" else 32
+        if cfg.model.img_size % (sp * max_stride):
             raise ValueError(
                 f"img_size {cfg.model.img_size} must divide by "
-                f"spatial_shards*32 = {sp * 32} so every pyramid level "
-                "splits evenly")
+                f"spatial_shards*{max_stride} = {sp * max_stride} so every "
+                "pyramid level splits evenly")
         mesh = create_spatial_mesh(n_dev // sp, sp)
         state = replicate(state, mesh)
         logger.info("data-parallel x spatial over %dx%d devices "

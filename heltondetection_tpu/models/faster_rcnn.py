@@ -376,13 +376,16 @@ def assign_rpn_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     bg = best_iou < cfg.rpn_bg_iou  # incl. the no-gt case (iou = −1)
     # low-quality matches: anchors that are argmax for some gt become fg
     # (ties included via == max, torchvision behavior). The comparison
-    # carries a 1-ulp slack: XLA may recompute the IoU inside the max's
-    # fusion with different FMA contraction (observed 1-ulp drift between
-    # sharding layouts), and an EXACT == would then drop every low-quality
-    # match for that gt; the slack admits only boxes within float rounding
-    # of the true max (same keep set as torchvision's tie rule)
+    # carries a RELATIVE slack of ~8 ulps: XLA may recompute the IoU inside
+    # the max's fusion with different FMA contraction (observed 1-ulp drift
+    # between sharding layouts), and an EXACT == would then drop every
+    # low-quality match for that gt. The slack must be relative — an
+    # absolute epsilon goes non-positive for a gt whose best IoU is tiny
+    # (a sliver box after crop/clip) and would promote every anchor with
+    # any positive overlap to fg
     gt_best_iou = jnp.max(iou, axis=0)                    # (M,)
-    low_q = jnp.any((iou >= gt_best_iou[None, :] - 1e-6) & gt_mask[None, :] &
+    thr = gt_best_iou * (1.0 - 1e-6)
+    low_q = jnp.any((iou >= thr[None, :]) & gt_mask[None, :] &
                     (iou > 0), axis=1)
     fg = fg | low_q
     bg = bg & ~fg

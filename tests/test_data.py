@@ -89,6 +89,40 @@ def test_voc_reader(tmp_path):
     assert len(build_dataset(dc, "val")) == 4
 
 
+def test_train_gt_excludes_ignore_boxes(tmp_path):
+    """Train pipelines drop iscrowd/difficult boxes from the GT (the
+    reference lineage never trains on them: Ultralytics drops iscrowd=1,
+    py-faster-rcnn use_diff=False) while eval keeps them as ignore
+    regions."""
+    from heltondetection_tpu.data.readers import drop_ignore_boxes
+    ann_dir, img_dir, _, names = build_voc_dataset(str(tmp_path))
+    ds = VOCDataset(ann_dir, img_dir, names)
+    raw = ds.load(0)                 # last object is difficult (iscrowd=1)
+    n_all = len(raw["classes"])
+    kept = drop_ignore_boxes(raw)
+    assert len(kept["classes"]) == n_all - 1
+    assert not kept["iscrowd"].any()
+    np.testing.assert_allclose(kept["boxes"], raw["boxes"][:-1])
+    # no-crowd samples pass through untouched (same object, no copy)
+    clean = {"image": raw["image"], "boxes": kept["boxes"],
+             "classes": kept["classes"], "iscrowd": kept["iscrowd"]}
+    assert drop_ignore_boxes(clean) is clean
+    nofield = {"image": raw["image"], "boxes": raw["boxes"],
+               "classes": raw["classes"]}
+    assert drop_ignore_boxes(nofield) is nofield
+    # the geometry-only train pipeline emits n_all-1 GT rows...
+    pipe = TrainPipeline(ds, 64, mosaic_p=0.0, hsv=False, flip_p=0.0,
+                         max_boxes=16, seed=0)
+    assert int(pipe.sample(0, 0)["gt_mask"].sum()) == n_all - 1
+    # ...while eval still registers ALL boxes, the difficult one as ignore
+    from heltondetection_tpu.utils.cocoeval import DetEval
+    de = DetEval(len(names))
+    ds.gt_for_eval(de)
+    img0 = [t for (iid, _), lst in de._gts.items()
+            if iid == ds.stems[0] for t in lst]
+    assert len(img0) == n_all and sum(t[1] for t in img0) == 1
+
+
 def test_yolo_vs_coco_same_content(tmp_path):
     """Same seed → YOLO reader and COCO reader yield identical boxes."""
     ann, imgs = build_coco_dataset(str(tmp_path / "c"), n_images=4, seed=7)
