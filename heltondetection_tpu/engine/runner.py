@@ -232,32 +232,17 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
     return stats
 
 
-def _load_eval_variables(cfg: ExperimentConfig, model):
+def _load_eval_variables(cfg: ExperimentConfig, model=None):
     """Restore EMA params (fall back to raw params) from the work dir.
     ``cfg.eval.ckpt = "best"`` loads the best-val-AP snapshot (ckpt_best/,
-    the lineage's best.pt) instead of the newest rotating checkpoint."""
-    from heltondetection_tpu.train.schedule import make_optimizer
-    from heltondetection_tpu.train.trainer import create_train_state
-    # the optimizer is only a restore-shape donor, but it must match the
-    # TRAIN-side opt_state tree exactly (freeze masking wraps the state in
-    # a multi_transform dict; grad_clip changes the chain arity) or orbax
-    # rejects the checkpoint
-    tx = make_optimizer(cfg.train.lr, total_steps=100, warmup_steps=10,
-                        weight_decay=cfg.train.weight_decay,
-                        grad_clip=cfg.train.grad_clip,
-                        frozen_prefixes=_frozen_prefixes(cfg.model))
-    if cfg.model.family == "faster_rcnn":
-        from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
-        from heltondetection_tpu.train.trainer import TrainState
-        v = init_faster_rcnn(model, jax.random.PRNGKey(0),
-                             cfg.model.img_size)
-        state = TrainState(v["params"], v["batch_stats"],
-                           tx.init(v["params"]), jnp.zeros((), jnp.int32),
-                           v["params"] if cfg.train.ema else None)
-    else:
-        state = create_train_state(model, jax.random.PRNGKey(0),
-                                   cfg.model.img_size, tx,
-                                   use_ema=cfg.train.ema)
+    the lineage's best.pt) instead of the newest rotating checkpoint.
+
+    Opt-state-free: restores only the inference fields of the saved
+    TrainState (ckpt.restore_eval_variables), so eval works on checkpoints
+    trained under ANY freeze/grad_clip/ema settings — no optimizer donor
+    tree to reconstruct. ``model`` is unused (kept for call-site symmetry
+    with build_model)."""
+    del model
     ckpt_dir = cfg.ckpt_dir
     if getattr(cfg.eval, "ckpt", "last") == "best":
         if ckpt_io.latest_step(cfg.best_ckpt_dir) is not None:
@@ -266,9 +251,9 @@ def _load_eval_variables(cfg: ExperimentConfig, model):
             get_logger().warning("eval.ckpt='best' but %s has no snapshot "
                                  "(no in-loop eval improved yet?); falling "
                                  "back to %s", cfg.best_ckpt_dir, cfg.ckpt_dir)
-    state = ckpt_io.restore_state(ckpt_dir, state)
-    params = state.ema_params if state.ema_params is not None else state.params
-    return {"params": params, "batch_stats": state.batch_stats}
+    v = ckpt_io.restore_eval_variables(ckpt_dir)
+    params = v["ema_params"] if v["ema_params"] is not None else v["params"]
+    return {"params": params, "batch_stats": v["batch_stats"]}
 
 
 def run_train(cfg: ExperimentConfig, resume: bool = True

@@ -88,6 +88,34 @@ def restore_state(ckpt_dir: str, template: Any,
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def restore_eval_variables(ckpt_dir: str,
+                           step: Optional[int] = None) -> dict:
+    """Donor-free restore of only the inference-relevant fields of a saved
+    TrainState. Eval/test/export need ``params`` + ``batch_stats`` (and
+    ``ema_params`` when training kept an EMA) — never ``opt_state``.
+    Restoring through a TrainState-shaped donor would require
+    bit-reconstructing the train-time optimizer tree (freeze prefixes ×
+    grad_clip arity × ema), so evaluating a checkpoint trained under
+    different freeze/clip settings than the eval config would crash orbax.
+    Restoring the raw saved tree (a dict keyed by TrainState field — no
+    target structure) sidesteps the optimizer entirely; the reference's
+    eval loads bare weights the same way (SURVEY.md §3.2).
+    """
+    with _mgr(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        restored = mgr.restore(step)
+    if not isinstance(restored, dict):  # older orbax: NamedTuple → sequence
+        restored = {"params": restored[0], "batch_stats": restored[1],
+                    "step": restored[3],
+                    "ema_params": restored[4] if len(restored) > 4 else None}
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats") or {},
+            "ema_params": restored.get("ema_params"),
+            "step": restored.get("step")}
+
+
 def load_params_for_transfer(ckpt_dir: str, template_params: Any,
                              step: Optional[int] = None,
                              skip_prefixes: tuple = ()) -> Any:

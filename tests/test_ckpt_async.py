@@ -56,6 +56,46 @@ def test_async_writer_final_save_durable_after_close(tmp_path):
                                   np.asarray(st.params["w"]))
 
 
+def test_eval_restore_ignores_optimizer_layout(tmp_path):
+    """Eval/test/export restore must work on checkpoints trained under ANY
+    freeze/grad_clip/ema combination: _load_eval_variables is donor-free
+    (restore_eval_variables never reconstructs the train-time optimizer
+    tree), so a checkpoint whose opt_state was masked by freeze prefixes or
+    wrapped by grad-clip chains restores even when the eval-side config
+    would have built a different optimizer. Round-2 regression class: the
+    donor path crashed orbax with Source <dict> / Target <list> on any
+    layout mismatch."""
+    from heltondetection_tpu.configs.base import ExperimentConfig
+    from heltondetection_tpu.engine.runner import _load_eval_variables
+    from heltondetection_tpu.train.schedule import make_optimizer
+
+    params = {"backbone": {"w": jnp.ones((3, 3))},
+              "head": {"w": jnp.full((2,), 2.0)}}
+    bstats = {"bn": {"mean": jnp.full((3,), 0.5)}}
+    layouts = [
+        ("plain", (), None, False),                 # bare AdamW, no clip
+        ("clip", (), 10.0, True),                   # clip chain + EMA
+        ("frozen", ("backbone",), 10.0, False),     # multi_transform mask
+        ("frozen_noclip", ("backbone",), None, True),
+    ]
+    for name, frozen, clip, ema in layouts:
+        tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1,
+                            grad_clip=clip, frozen_prefixes=frozen)
+        ema_params = (jax.tree_util.tree_map(lambda x: x * 3.0, params)
+                      if ema else None)
+        st = TrainState(params, bstats, tx.init(params),
+                        jnp.asarray(5, jnp.int32), ema_params)
+        cfg = ExperimentConfig(name=f"layout_{name}", work_dir=str(tmp_path))
+        ckpt_io.save_state(cfg.ckpt_dir, jax.device_get(st), 1)
+        v = _load_eval_variables(cfg)
+        expect = ema_params if ema else params
+        np.testing.assert_array_equal(np.asarray(v["params"]["head"]["w"]),
+                                      np.asarray(expect["head"]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(v["batch_stats"]["bn"]["mean"]),
+            np.asarray(bstats["bn"]["mean"]))
+
+
 def test_best_json_round_trip(tmp_path):
     """best.json seeds `best` across resume so a worse post-restart eval
     can't overwrite the genuinely best one-slot snapshot."""
