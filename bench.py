@@ -11,11 +11,46 @@ FLOPs / measured time / 197 TFLOP/s v5e bf16 peak) so the perf claim does
 not rest on a cross-vendor ratio alone."""
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Backend-init retry policy: the axon tunnel raises UNAVAILABLE transiently
+# (it voided round 2's perf record); a bounded retry-with-backoff makes one
+# transient failure non-fatal while still finishing in well under the
+# driver's budget. Hung inits are the driver's timeout to bound — killing a
+# mid-init TPU process can wedge the tunnel for hours.
+INIT_ATTEMPTS = 4
+INIT_BACKOFF_S = (30.0, 90.0, 180.0)
+
+
+def _init_backend_with_retry():
+    """jax.devices() with bounded retries; returns the device list or exits
+    after printing the one-line JSON error record the driver expects."""
+    last_err = None
+    for attempt in range(INIT_ATTEMPTS):
+        try:
+            return jax.devices()
+        except Exception as e:  # UNAVAILABLE surfaces as RuntimeError
+            last_err = e
+            sys.stderr.write(f"bench: backend init attempt {attempt + 1}/"
+                             f"{INIT_ATTEMPTS} failed: {e}\n")
+            if attempt < INIT_ATTEMPTS - 1:
+                from jax.extend import backend as jexb
+                try:
+                    jexb.clear_backends()  # drop the cached init failure
+                except Exception:
+                    pass
+                time.sleep(INIT_BACKOFF_S[attempt])
+    print(json.dumps({
+        "metric": "YOLOv5s 640^2 fwd+decode+NMS images/sec/chip",
+        "value": None, "unit": "img/s", "vs_baseline": None,
+        "error": f"backend init failed after {INIT_ATTEMPTS} attempts: "
+                 f"{type(last_err).__name__}: {last_err}"}))
+    sys.exit(0)
 
 A100_BASELINE_IMG_S = 1250.0  # Ultralytics YOLOv5s TensorRT FP16 A100 b32
 BASELINE_SOURCE = ("public Ultralytics YOLOv5s v6.1 A100 TensorRT-FP16 b32 "
@@ -29,6 +64,7 @@ ITERS = 20
 
 
 def main():
+    _init_backend_with_retry()
     from heltondetection_tpu.models.yolov5 import build_yolov5
     from heltondetection_tpu.engine.evaluator import make_packed_serve_step
 
