@@ -271,6 +271,8 @@ class TrainPipeline:
     letterbox (non-mosaic path) → optional mixup(p) with a second
     fully-augmented sample → cxcywh targets in input pixels."""
 
+    _mixup_trunc_warned = False  # once-per-process truncation notice
+
     def __init__(self, dataset, img_size: int, *, mosaic_p: float = 0.5,
                  hsv: bool = True, flip_p: float = 0.5, max_boxes: int = 128,
                  seed: int = 0, affine: bool = True,
@@ -332,6 +334,22 @@ class TrainPipeline:
             img = mixup_blend(img, img2, r)
             boxes = np.concatenate([boxes, boxes2], axis=0)
             classes = np.concatenate([classes, classes2], axis=0)
+            if len(classes) > self.max_boxes:
+                # mixup roughly doubles label counts; truncating the raw
+                # concatenation would always drop the PARTNER's trailing
+                # boxes first. Shuffle (seeded) so the loss sees an
+                # unbiased subset, and tell dense-dataset users once to
+                # raise data.max_boxes (round-2 advisor finding).
+                perm = rng.permutation(len(classes))
+                boxes, classes = boxes[perm], classes[perm]
+                if not TrainPipeline._mixup_trunc_warned:
+                    TrainPipeline._mixup_trunc_warned = True
+                    from heltondetection_tpu.utils.log import get_logger
+                    get_logger().warning(
+                        "mixup label union (%d boxes) exceeds max_boxes=%d;"
+                        " keeping a seeded random subset. Raise "
+                        "data.max_boxes if this is frequent.",
+                        len(classes), self.max_boxes)
         # fixed-shape targets: cxcywh pixels + mask
         m = self.max_boxes
         gt = np.zeros((m, 4), np.float32)

@@ -118,14 +118,31 @@ def init_distributed(coordinator_address: Optional[str] = None,
         # A FAILED bootstrap of an intended cluster must not degrade to N
         # independent full-data trainings (each host would then train the
         # whole dataset and overwrite the shared ckpt_dir): re-raise when
-        # the caller explicitly asked for a cluster, or when the ambient
-        # environment says this is a multi-task launch — unless the
-        # runtime is in fact already initialised with the expected size
-        # (repeat init_distributed calls raise RuntimeError benignly).
-        expected = num_processes or int(
-            os.environ.get("SLURM_NTASKS", "0")
-            or os.environ.get("NPROC", "0") or 0)
+        # the caller explicitly asked for a cluster, or when ANY of the
+        # ambient markers that triggered init above says this is a
+        # multi-task launch — unless the runtime is in fact already
+        # initialised with a cluster (repeat init_distributed calls raise
+        # RuntimeError benignly).
+        expected = num_processes or 0
+        if not expected:  # first size-carrying env marker wins
+            for m in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "NPROC"):
+                v = os.environ.get(m)
+                if v and v.isdigit() and int(v) > 0:
+                    expected = int(v)
+                    break
+        if not expected:
+            hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+            expected = len([h for h in hosts.split(",") if h.strip()])
         if expected > 1 and jax.process_count() != expected:
             raise
+        if jax.process_count() == 1:
+            if coordinator_address is not None:
+                raise  # explicit ad-hoc cluster requested but init failed
+            # size-less cluster markers (an address / pod task id implies a
+            # cluster without encoding how many processes it has)
+            sizeless = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                        "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+            if not expected and any(os.environ.get(m) for m in sizeless):
+                raise
         return jax.process_count() > 1  # single-process / already initialised
     return jax.process_count() > 1

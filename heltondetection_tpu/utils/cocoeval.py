@@ -73,6 +73,17 @@ class DetEval:
     _cat_ids: set = field(default_factory=set)
     _prep_cache: Dict = field(default_factory=dict)  # see _prep_img_cat
 
+    def _iou_index(self, iou: float) -> int:
+        """Index of ``iou`` in ``iou_thrs``, with a clear error for a
+        threshold not on the grid (argwhere on a miss raised a bare
+        IndexError — round-2 advisor finding)."""
+        hit = np.isclose(self.iou_thrs, iou)
+        if not hit.any():
+            raise ValueError(
+                f"IoU threshold {iou} is not on the evaluation grid "
+                f"{np.round(self.iou_thrs, 2).tolist()}")
+        return int(np.argmax(hit))
+
     def add_gt(self, img_id, boxes_xywh, classes, iscrowd=None, areas=None,
                ignore=None):
         boxes_xywh = np.asarray(boxes_xywh, np.float64).reshape(-1, 4)
@@ -277,7 +288,7 @@ class DetEval:
         p = self._precision   # (T, R, K, A, M)
         a = list(AREA_RNG.keys()).index("all")
         m = MAX_DETS.index(100)
-        t50 = int(np.argwhere(np.isclose(self.iou_thrs, 0.5))[0][0])
+        t50 = self._iou_index(0.5)
         out: Dict[int, Dict[str, float]] = {}
         for k, cat in enumerate(self._cats):
             s = p[:, :, k, a, m]
@@ -349,7 +360,7 @@ class DetEval:
         FP; recall over non-ignored gts)."""
         if conf_grid is None:
             conf_grid = np.linspace(0.0, 1.0, 101)
-        t = int(np.argwhere(np.isclose(self.iou_thrs, iou))[0][0])
+        t = self._iou_index(iou)
         area = AREA_RNG["all"]
         max_det = MAX_DETS[-1]
         cats = sorted(self._cat_ids) if self._cat_ids \
@@ -381,6 +392,10 @@ class DetEval:
             F1 = np.where(P + R > 0, 2 * P * R / np.maximum(P + R, 1e-12),
                           0.0)
             out[int(cat)] = {"conf": conf_grid, "P": P, "R": R, "F1": F1}
+        # free the per-(img,cat) IoU cache like accumulate() does — else
+        # the whole val set's IoU matrices stay resident until the DetEval
+        # is dropped (round-2 advisor finding)
+        self._prep_cache.clear()
         return out
 
     def to_coco_json(self, label_to_cat: Optional[Dict[int, int]] = None
@@ -412,7 +427,7 @@ class DetEval:
             m = MAX_DETS.index(max_det)
             s = p[:, :, :, a, m]
             if iou_thr is not None:
-                s = s[[int(np.argwhere(np.isclose(self.iou_thrs, iou_thr))[0][0])]]
+                s = s[[self._iou_index(iou_thr)]]
             s = s[s > -1]
             return float(np.mean(s)) if s.size else -1.0
 
@@ -518,7 +533,7 @@ def save_pr_curves_png(det: "DetEval",
         det.accumulate()
     a = list(AREA_RNG.keys()).index("all")
     m = MAX_DETS.index(100)
-    t50 = int(np.argwhere(np.isclose(det.iou_thrs, 0.5))[0][0])
+    t50 = det._iou_index(0.5)
     p = det._precision[t50, :, :, a, m]          # (R, K)
     cats = list(det._cats)
     names = list(class_names) if class_names else [str(c) for c in cats]

@@ -193,13 +193,25 @@ def _put_bn(P: Dict, S: Dict, prefix: str, field: str, arr) -> None:
         raise KeyError(f"unrecognized BN field {field} under {prefix}")
 
 
-def load_torchvision_resnet(path: str):
+def load_torchvision_resnet(path: str, allow_pickle: bool = False):
     """Load a torchvision ResNet .pth state_dict file → (params,
     batch_stats) pytrees for ``models.resnet.ResNet`` (jnp leaves).
-    Requires torch (CPU) to unpickle."""
+    Requires torch (CPU) to unpickle.
+
+    Plain state_dicts load with ``weights_only=True`` (no arbitrary-code
+    unpickling). A full-model pickle needs ``allow_pickle=True`` — an
+    explicit opt-in because unpickling executes code from the file."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain tensor state_dict; if you trust "
+                "this file (full-model pickles execute arbitrary code on "
+                "load), pass allow_pickle=True") from None
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if isinstance(sd, dict) and "state_dict" in sd:

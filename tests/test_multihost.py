@@ -211,6 +211,22 @@ def test_init_distributed_failed_bootstrap_raises(monkeypatch):
     monkeypatch.setenv("SLURM_NTASKS", "4")
     with pytest.raises(RuntimeError):
         pmesh.init_distributed()
-    # plain single-host auto-detect → benign no-op
+    # ALL cluster-marker classes must fail loudly, not just SLURM (round-2
+    # advisor finding: OMPI/TPU-pod/address launches silently degraded to
+    # N independent trainings)
     monkeypatch.delenv("SLURM_NTASKS")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed()
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b,host-c")
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    # size-less markers (no process count encoded) must still raise
+    monkeypatch.setenv("CLOUD_TPU_TASK_ID", "0")
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed()
+    monkeypatch.delenv("CLOUD_TPU_TASK_ID")
+    # plain single-host auto-detect → benign no-op
     assert pmesh.init_distributed() is False
