@@ -121,10 +121,19 @@ def device_mosaic_one(images4: jnp.ndarray, boxes4: jnp.ndarray,
 
 
 def device_augment_batch(batch: Dict, rng: jax.Array, *,
-                         flip_p: float = 0.5, hsv: bool = True) -> Dict:
+                         flip_p: float = 0.5, hsv: bool = True,
+                         mixup_p: float = 0.0,
+                         mixup_beta: float = 32.0) -> Dict:
     """Batch wrapper: batch has images4 (B,4,S,S,3) uint8, boxes4
     (B,4,M,4), cls4 (B,4,M), mask4 (B,4,M), mosaic4 (B,) bool →
-    train-step batch dict."""
+    train-step batch dict.
+
+    ``mixup_p > 0`` adds YOLOv5-v6.1-style mixup fully on device: each
+    sample blends with its batch neighbour (roll by one — the device
+    analog of the host path's random-partner draw; every partner is
+    itself fully augmented) at ratio r ~ Beta(32, 32), labels unioned
+    unweighted. Doubles the GT target width (4M → 8M) at trace time, so
+    it costs nothing when disabled."""
     b = batch["images4"].shape[0]
     rngs = jax.random.split(rng, b)
     img, gt, cls, mask = jax.vmap(
@@ -132,4 +141,14 @@ def device_augment_batch(batch: Dict, rng: jax.Array, *,
             i4, b4, c4, m4, r, um, flip_p=flip_p, hsv=hsv)
     )(batch["images4"], batch["boxes4"], batch["cls4"], batch["mask4"],
       rngs, batch["mosaic4"])
+    if mixup_p > 0:
+        k_coin, k_r = jax.random.split(jax.random.fold_in(rng, 0x6D78))
+        coin = jax.random.uniform(k_coin, (b,)) < mixup_p
+        r = jax.random.beta(k_r, mixup_beta, mixup_beta, (b,))
+        r = jnp.where(coin, r, 1.0)[:, None, None, None]
+        img = img * r + jnp.roll(img, -1, axis=0) * (1.0 - r)
+        gt = jnp.concatenate([gt, jnp.roll(gt, -1, axis=0)], axis=1)
+        cls = jnp.concatenate([cls, jnp.roll(cls, -1, axis=0)], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.roll(mask, -1, axis=0) & coin[:, None]], axis=1)
     return {"image": img, "gt_boxes": gt, "gt_cls": cls, "gt_mask": mask}

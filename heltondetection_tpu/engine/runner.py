@@ -285,10 +285,6 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     model = build_model(cfg.model, nc)
 
     device_aug = cfg.train.device_aug and cfg.model.family == "yolov5"
-    if device_aug and cfg.train.mixup_p > 0:
-        logger.info("mixup_p > 0: device_aug path has no mixup — using the "
-                    "host augmentation pipeline")
-        device_aug = False
     if device_aug:
         pipe = None
         if cfg.train.native_loader:
@@ -382,7 +378,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                 r = jax.random.fold_in(aug_key, state.step)
                 aug = device_augment_batch(batch, r,
                                            flip_p=cfg.train.flip_p,
-                                           hsv=cfg.train.hsv)
+                                           hsv=cfg.train.hsv,
+                                           mixup_p=cfg.train.mixup_p)
                 return base_step(state, aug)
 
             step_fn = jax.jit(step_fn)
