@@ -700,6 +700,7 @@ def _save_heatmap_panels(cfg, model, variables, source: str,
     from heltondetection_tpu.data.readers import imread_rgb
     from heltondetection_tpu.utils.vis import (feature_heatmaps,
                                                objectness_maps,
+                                               rcnn_class_score_maps,
                                                rpn_objectness_maps)
     img = imread_rgb(source)
     lb, _, _ = letterbox_np(img, np.zeros((0, 4), np.float32),
@@ -711,12 +712,28 @@ def _save_heatmap_panels(cfg, model, variables, source: str,
         raws0 = [np.asarray(r[0]) for r in raws]
         hm = feature_heatmaps(lb, raws0)
         om = objectness_maps(lb, raws0, cfg.model.num_classes)
-    else:   # faster_rcnn: FPN activation panels + RPN objectness
-        pyr, obj, _ = model.apply(variables, x, train=False)
+    else:   # faster_rcnn: FPN activations + RPN objectness + box-head
+        # class scores over proposals (demo [D] per-level class maps)
+        from heltondetection_tpu.models.faster_rcnn import (
+            STRIDES, FasterRCNN, generate_proposals, pyramid_anchors)
+        pyr, obj, deltas = model.apply(variables, x, train=False)
         pyr0 = [np.asarray(p[0]) for p in pyr]
         hm = feature_heatmaps(lb, pyr0)
         om = rpn_objectness_maps(lb, [p.shape[:2] for p in pyr0],
                                  np.asarray(obj[0]))
+        anchors, counts = pyramid_anchors(cfg.model.img_size)
+        props, _, pvalid = generate_proposals(obj[0], deltas[0], anchors,
+                                              counts, cfg.model.img_size,
+                                              model.cfg)
+        scores, _ = model.apply(variables, [p[0] for p in pyr], props,
+                                method=FasterRCNN.run_box_head)
+        probs = np.asarray(jax.nn.softmax(scores, -1)[:, 1:])
+        cm = rcnn_class_score_maps(lb, [p.shape[:2] for p in pyr0], STRIDES,
+                                   np.asarray(props), probs,
+                                   np.asarray(pvalid),
+                                   num_pooled=model.cfg.roi_levels)
+        cv2.imwrite(stem + "_clsmaps.png",
+                    cv2.cvtColor(cm, cv2.COLOR_RGB2BGR))
     cv2.imwrite(stem + "_heatmaps.png", cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
     cv2.imwrite(stem + "_objmaps.png", cv2.cvtColor(om, cv2.COLOR_RGB2BGR))
     return stem + "_heatmaps.png"

@@ -110,3 +110,49 @@ def rpn_objectness_maps(img: np.ndarray, level_hw: Sequence,
         hm = _colorize(m, (w, h))
         panels.append((img * (1 - alpha) + hm * alpha).astype(np.uint8))
     return np.concatenate(panels, axis=1)
+
+
+def rcnn_class_score_maps(img: np.ndarray, level_hw: Sequence,
+                          strides: Sequence[int], rois: np.ndarray,
+                          probs: np.ndarray, valid: np.ndarray,
+                          num_pooled: int = 4, canonical_level: int = 2,
+                          canonical_size: float = 224.0,
+                          alpha: float = 0.5) -> np.ndarray:
+    """Second-stage class-score panels for FasterRCNN ``--mode test`` — the
+    two-stage analog of the demo's dense per-level class-score maps
+    (demo/1.jpg / demo/2.jpg [D]): a one-stage head scores every cell, but
+    the box head only scores proposals, so each proposal's max-class
+    softmax score is splatted (elementwise max) over its box footprint on
+    the pyramid level the RoI head pooled it from (the torchvision
+    MultiScaleRoIAlign level rule — ops/roi_align._roi_levels). Panels for
+    un-pooled levels (P6) render empty.
+
+    ``rois``: (R, 4) xyxy in input pixels; ``probs``: (R, nc) foreground
+    softmax (or (R,) pre-reduced); ``valid``: (R,) proposal validity.
+    """
+    h, w = img.shape[:2]
+    rois = np.asarray(rois, np.float64).reshape(-1, 4)
+    score = np.asarray(probs, np.float64)
+    if score.ndim == 2:
+        score = score.max(axis=-1)
+    score = score * np.asarray(valid, np.float64).reshape(-1)
+    bw = np.maximum(rois[:, 2] - rois[:, 0], 0.0)
+    bh = np.maximum(rois[:, 3] - rois[:, 1], 0.0)
+    lvl = np.clip(np.floor(canonical_level +
+                           np.log2(np.sqrt(bw * bh) / canonical_size + 1e-8)),
+                  0, num_pooled - 1).astype(np.int64)
+    panels = []
+    for li, (hh, ww) in enumerate(level_hw):
+        m = np.zeros((hh, ww), np.float64)
+        if li < num_pooled:
+            s = float(strides[li])
+            for i in np.nonzero((lvl == li) & (score > 0))[0]:
+                x1 = int(np.clip(np.floor(rois[i, 0] / s), 0, ww - 1))
+                y1 = int(np.clip(np.floor(rois[i, 1] / s), 0, hh - 1))
+                x2 = int(np.clip(np.ceil(rois[i, 2] / s), x1 + 1, ww))
+                y2 = int(np.clip(np.ceil(rois[i, 3] / s), y1 + 1, hh))
+                reg = m[y1:y2, x1:x2]
+                np.maximum(reg, score[i], out=reg)
+        hm = _colorize(m, (w, h))
+        panels.append((img * (1 - alpha) + hm * alpha).astype(np.uint8))
+    return np.concatenate(panels, axis=1)

@@ -151,6 +151,9 @@ def test_run_test_rcnn_heatmaps(tmp_path):
     run_test(cfg, src, out)
     hm = cv2.imread(str(tmp_path / "out_heatmaps.png"))
     om = cv2.imread(str(tmp_path / "out_objmaps.png"))
-    assert hm is not None and om is not None
-    # one panel per pyramid level (P2..P6), each letterboxed-square wide
+    cm = cv2.imread(str(tmp_path / "out_clsmaps.png"))
+    assert hm is not None and om is not None and cm is not None
+    # one panel per pyramid level (P2..P6), each letterboxed-square wide;
+    # clsmaps = second-stage box-head class scores splatted over proposals
     assert hm.shape[1] == 5 * 64 and om.shape[1] == 5 * 64
+    assert cm.shape[1] == 5 * 64
