@@ -80,6 +80,16 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        # COMMITTED single-device leaves (e.g. an orbax-restored TrainState)
+        # cannot be device_put onto a sharding spanning other hosts' devices
+        # — jax raises "does not support cross-host device transfers". Pull
+        # to host once: every rank holds the SAME state (fresh init by
+        # identical seed, or the same checkpoint — run_train's resume guard
+        # verifies it), so the local put assembles the replicated global
+        # array without any wire transfer. Uncommitted fresh-init leaves
+        # take this path too; the extra device_get is once per run.
+        tree = jax.device_get(tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

@@ -14,11 +14,39 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _mp_options():
+    """Scope every CheckpointManager to the CALLING process. Our multi-host
+    contract is rank-0-only saving of device_get host arrays (runner.py) and
+    per-process local restores of a shared dir — orbax's default multi-host
+    coordination instead assumes ALL processes enter every save/restore and
+    barriers on it, so a rank-0-only save would deadlock waiting for ranks
+    that never call save. With active_processes == {this process} orbax
+    skips every cross-process sync (multihost.should_skip_process_sync)."""
+    if jax.process_count() <= 1:
+        return ocp.options.MultiprocessingOptions()  # orbax default
+    pid = jax.process_index()
+    return ocp.options.MultiprocessingOptions(primary_host=pid,
+                                              active_processes={pid})
+
+
+def _root_dir_and_create(ckpt_dir: str):
+    """orbax forbids create=True together with a custom active_processes
+    set — under multi-process we create the root ourselves instead."""
+    path = os.path.abspath(ckpt_dir)
+    mp = _mp_options()
+    if mp.active_processes is None:
+        return path, mp, True
+    os.makedirs(path, exist_ok=True)
+    return path, mp, False
+
+
 def _mgr(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    path, mp, create = _root_dir_and_create(ckpt_dir)
     return ocp.CheckpointManager(
-        os.path.abspath(ckpt_dir),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                             create=True))
+        path,
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=create,
+            multiprocessing_options=mp))
 
 
 def save_state(ckpt_dir: str, state: Any, step: int,
@@ -41,11 +69,13 @@ class CheckpointWriter:
     """
 
     def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        path, mp, create = _root_dir_and_create(ckpt_dir)
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(ckpt_dir),
+            path,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True,
-                enable_async_checkpointing=True))
+                max_to_keep=max_to_keep, create=create,
+                enable_async_checkpointing=True,
+                multiprocessing_options=mp))
 
     def save(self, state: Any, step: int) -> None:
         """Stage ``state`` (host arrays) for step ``step`` and return;
