@@ -4,6 +4,9 @@ import pytest
 
 from heltondetection_tpu.ops import boxes as B
 
+# box-op oracle spot-checks are cheap — whole module in the smoke tier
+pytestmark = pytest.mark.smoke
+
 
 def test_coord_roundtrip():
     rng = np.random.default_rng(0)

@@ -12,6 +12,7 @@ background thread; close() commits everything. Pins:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heltondetection_tpu.train.trainer import TrainState
 from heltondetection_tpu.utils import ckpt as ckpt_io
@@ -56,6 +57,7 @@ def test_async_writer_final_save_durable_after_close(tmp_path):
                                   np.asarray(st.params["w"]))
 
 
+@pytest.mark.smoke   # ckpt round-trip across optimizer layouts
 def test_eval_restore_ignores_optimizer_layout(tmp_path):
     """Eval/test/export restore must work on checkpoints trained under ANY
     freeze/grad_clip/ema combination: _load_eval_variables is donor-free

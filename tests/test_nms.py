@@ -50,6 +50,7 @@ def test_nms_mask_jnp_matches_python_oracle():
     assert ours == expect
 
 
+@pytest.mark.smoke   # oracle spot-check
 def test_nms_mask_matches_torchvision_semantics():
     """vs the vendored numpy port of torchvision.ops.nms (strict `iou > thr`
     suppression, no epsilon — tests/torch_refs.py), so the oracle always
@@ -145,6 +146,7 @@ def test_batched_nms_fixed_shapes_and_padding():
     f(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes))
 
 
+@pytest.mark.smoke   # oracle spot-check
 def test_batched_nms_matches_torchvision_batched():
     """vs the vendored numpy port of torchvision.ops.batched_nms (class-
     offset trick + plain NMS), always runnable offline."""
