@@ -25,6 +25,27 @@ def flops_of(fn: Callable, *args) -> float:
     return float(cost.get("flops", float("nan")))
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # public TPU v5e spec (bf16, per chip)
+
+
+def compiled_flops(compiled) -> float:
+    """FLOPs of an already-compiled computation per XLA's cost model."""
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns per-device list
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def mfu_of(compiled, seconds_per_call: float,
+           peak_tflops: float = V5E_BF16_PEAK_TFLOPS
+           ) -> Tuple[float, float]:
+    """(achieved TFLOP/s, % of peak) for a compiled computation measured at
+    ``seconds_per_call`` — the %-of-peak figure that turns a "bound by op X"
+    profiling verdict into a number (VERDICT r2 item 5)."""
+    achieved = compiled_flops(compiled) / seconds_per_call / 1e12
+    return achieved, 100.0 * achieved / peak_tflops
+
+
 def model_complexity(model, variables, img_size: int,
                      batch_size: int = 1) -> Dict[str, float]:
     """(GFLOPs/img, MParams) for a detector forward at the given size."""

@@ -1,0 +1,76 @@
+"""Full multi-path benchmark record (VERDICT r2 weak-4: bench.py tracks
+only YOLOv5s serve; regressions in the other headline paths were invisible
+to the per-round record). Runs every headline path and writes ONE JSON
+object (also saved to BENCH_FULL_r*.json by the round workflow):
+
+  serve   — YOLOv5s 640² fwd+decode+NMS img/s (bench.py's metric)
+  yolo_train — YOLOv5s 640² packed train step img/s
+  rcnn_infer — FasterRCNN-R50-FPN 832² infer img/s (+MFU)
+  rcnn_train — FasterRCNN-R50-FPN 832² train img/s (+MFU)
+
+Each path runs as a subprocess so one failure can't void the record.
+Usage: python tools/bench_full.py [out.json]   (~20 min: tunnel compiles)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=1200):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        p = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=timeout)
+        return p.stdout + p.stderr
+    except subprocess.TimeoutExpired as e:
+        return (e.stdout or "") + f"\nTIMEOUT after {timeout}s"
+
+
+def _grab(out, pat):
+    m = re.search(pat, out)
+    return float(m.group(1)) if m else None
+
+
+def main():
+    rec = {}
+
+    out = _run(["bench.py"])
+    m = re.search(r"\{.*\}", out)
+    rec["serve"] = json.loads(m.group(0)) if m else {"error": out[-300:]}
+
+    out = _run(["tools/bench_train.py", "128", "packed"])
+    rec["yolo_train"] = {
+        "img_s": _grab(out, r"train b128: [\d.]+ ms/step\s+([\d.]+) img/s"),
+        "ms_step": _grab(out, r"train b128: ([\d.]+) ms/step"),
+    } if "img/s" in out else {"error": out[-300:]}
+
+    out = _run(["tools/bench_rcnn.py", "8"])
+    rec["rcnn_infer"] = {
+        "img_s": _grab(out, r"ms/batch\s+([\d.]+) img/s"),
+        "ms_batch": _grab(out, r"b8: ([\d.]+) ms/batch"),
+        "tflops": _grab(out, r"([\d.]+) TFLOP/s"),
+        "mfu_pct": _grab(out, r"\(([\d.]+)% of v5e"),
+    } if "img/s" in out else {"error": out[-300:]}
+
+    out = _run(["tools/bench_rcnn_train.py", "8", "832"])
+    rec["rcnn_train"] = {
+        "img_s": _grab(out, r"ms/step\s+([\d.]+) img/s"),
+        "ms_step": _grab(out, r"b8: ([\d.]+) ms/step"),
+        "tflops": _grab(out, r"([\d.]+) TFLOP/s"),
+        "mfu_pct": _grab(out, r"\(([\d.]+)% of v5e"),
+    } if "img/s" in out else {"error": out[-300:]}
+
+    line = json.dumps(rec)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,10 @@ variables = init_faster_rcnn(model, jax.random.PRNGKey(0), cfg.img_size)
 print(f"init {time.perf_counter()-t0:.0f}s", flush=True)
 rng = np.random.default_rng(0)
 imgs = jnp.asarray(rng.uniform(0, 1, (B, 832, 832, 3)).astype(np.float32))
+t0 = time.perf_counter()
 inf = jax.jit(lambda v, im: faster_rcnn_infer(model, v, im, cfg)[1]
-              .astype(jnp.float32).sum())
-t0 = time.perf_counter(); float(inf(variables, imgs))
+              .astype(jnp.float32).sum()).lower(variables, imgs).compile()
+float(inf(variables, imgs))
 print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
 for _ in range(2):
     acc = jnp.zeros(())
@@ -33,4 +34,7 @@ for _ in range(10):
     acc = acc + inf(variables, imgs)
 float(acc)
 dt = (time.perf_counter() - t0) / 10
-print(f"rcnn 832^2 b{B}: {dt*1e3:.1f} ms/batch  {B/dt:.1f} img/s", flush=True)
+from heltondetection_tpu.utils.flops import mfu_of
+tfl, pct = mfu_of(inf, dt)
+print(f"rcnn 832^2 b{B}: {dt*1e3:.1f} ms/batch  {B/dt:.1f} img/s  "
+      f"{tfl:.1f} TFLOP/s ({pct:.1f}% of v5e bf16 peak)", flush=True)

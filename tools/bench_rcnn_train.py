@@ -19,7 +19,7 @@ v = init_faster_rcnn(model, jax.random.PRNGKey(0), S)
 tx = make_optimizer(1e-3, total_steps=1000, warmup_steps=10)
 state = TrainState(v["params"], v["batch_stats"], tx.init(v["params"]),
                    jnp.zeros((), jnp.int32), v["params"])
-step = jax.jit(make_rcnn_train_step(model, tx, cfg))
+step_fn = make_rcnn_train_step(model, tx, cfg)
 rng = np.random.default_rng(0)
 x1 = rng.uniform(0, S - 80, (B, M, 2)); wh = rng.uniform(16, 80, (B, M, 2))
 batch = {
@@ -31,6 +31,7 @@ batch = {
 }
 key = jax.random.PRNGKey(1)
 t0 = time.perf_counter()
+step = jax.jit(step_fn).lower(state, batch, key).compile()
 state, m = step(state, batch, key)
 print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
 for _ in range(3):
@@ -42,5 +43,7 @@ for _ in range(N):
     state, m = step(state, batch, key)
 float(m["total"])
 dt = (time.perf_counter() - t0) / N
-print(f"rcnn train {S}^2 b{B}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s",
-      flush=True)
+from heltondetection_tpu.utils.flops import mfu_of
+tfl, pct = mfu_of(step, dt)
+print(f"rcnn train {S}^2 b{B}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s  "
+      f"{tfl:.1f} TFLOP/s ({pct:.1f}% of v5e bf16 peak)", flush=True)

@@ -21,7 +21,7 @@ if len(sys.argv) > 2 and sys.argv[2] == "packed":
 tx = make_optimizer(1e-3, total_steps=1000, warmup_steps=10)
 state = create_train_state(model, jax.random.PRNGKey(0), S, tx)
 cfg = YoloLossConfig(num_classes=nc, img_size=S)
-step = jax.jit(make_train_step(model, tx, cfg, use_ema=True))
+step_fn = make_train_step(model, tx, cfg, use_ema=True)
 
 rng = np.random.default_rng(0)
 batch = {
@@ -31,6 +31,7 @@ batch = {
     "gt_mask": jnp.asarray(rng.uniform(0, 1, (B, M)) < 0.2),
 }
 t0 = time.perf_counter()
+step = jax.jit(step_fn).lower(state, batch).compile()
 state, m = step(state, batch)
 print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
 for _ in range(3):
@@ -42,5 +43,8 @@ for _ in range(N):
     state, m = step(state, batch)
 float(m["total"])
 dt = (time.perf_counter() - t0) / N
-print(f"train b{B}: {dt*1e3:.1f} ms/step  {B/dt:.0f} img/s", flush=True)
+from heltondetection_tpu.utils.flops import mfu_of
+tfl, pct = mfu_of(step, dt)
+print(f"train b{B}: {dt*1e3:.1f} ms/step  {B/dt:.0f} img/s  "
+      f"{tfl:.1f} TFLOP/s ({pct:.1f}% of v5e bf16 peak)", flush=True)
 
