@@ -16,7 +16,7 @@ from typing import Optional, Sequence, Tuple
 
 @dataclass
 class DataConfig:
-    format: str = "coco"              # coco | yolo | dota | voc
+    format: str = "coco"              # coco | yolo | dota | voc | visdrone
     train_ann: str = ""               # coco: json; yolo/dota: label dir
     train_imgs: str = ""
     val_ann: str = ""

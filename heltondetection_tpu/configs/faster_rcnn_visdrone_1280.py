@@ -8,11 +8,11 @@ from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
 config = ExperimentConfig(
     name="faster_rcnn_visdrone_1280",
     data=DataConfig(
-        format="coco",
-        train_ann="datasets/visdrone2019/annotations/train.json",
-        train_imgs="datasets/visdrone2019/images/train",
-        val_ann="datasets/visdrone2019/annotations/val.json",
-        val_imgs="datasets/visdrone2019/images/val",
+        format="visdrone",
+        train_ann="datasets/VisDrone2019-DET-train/annotations",
+        train_imgs="datasets/VisDrone2019-DET-train/images",
+        val_ann="datasets/VisDrone2019-DET-val/annotations",
+        val_imgs="datasets/VisDrone2019-DET-val/images",
     ),
     model=ModelConfig(family="faster_rcnn", num_classes=10, img_size=1280,
                       neck="pafpn_v8", head="decoupled", dtype="bfloat16"),

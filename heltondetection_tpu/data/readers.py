@@ -1,7 +1,8 @@
 """Dataset readers: COCO-JSON, YOLO-txt, DOTA horizontal-box — rebuild
 targets C5 / C6 / C6b (SURVEY.md §2a; README.md:10 "支持COCO, YOLO, DOTA标注格式
-数据集读取") — plus Pascal-VOC XML (the reference's VOC0712 rows, which its
-shipped formats needed an offline conversion for).
+数据集读取") — plus Pascal-VOC XML and native VisDrone-DET (the reference's
+VOC0712 / VisDrone2019 benchmark rows, which its shipped formats needed an
+offline conversion for).
 
 Host-side and framework-free: each reader maps an index → a raw sample dict
 ``{image (H,W,3 uint8 RGB), boxes_xyxy (N,4) float32, classes (N,) int32,
@@ -282,6 +283,112 @@ class DOTADataset:
                 xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
                                  b[:, 3] - b[:, 1]], 1)
                 det_eval.add_gt(s["img_id"], xywh, s["classes"])
+
+
+VISDRONE_CLASSES = (
+    "pedestrian", "people", "bicycle", "car", "van", "truck", "tricycle",
+    "awning-tricycle", "bus", "motor")
+
+
+class VisDroneDataset:
+    """VisDrone2019-DET reader. The reference benchmarks VisDrone2019 at
+    1280² for both families (README.md:99-105,137-145) but ships no reader
+    for its native format — its lineage (ultralytics/yolov5 VisDrone.yaml)
+    converts offline with a script that keeps score==1 rows and maps
+    category 1..10 → label 0..9. This reader applies the same rule
+    directly: per-image ``.txt`` (same stem) with CSV lines
+    ``left,top,width,height,score,category,truncation,occlusion``;
+    ``score==0`` rows are the class-agnostic *ignored regions* (category
+    0) plus the ``others`` category (11) — they become ``iscrowd=1`` so
+    the train pipeline drops them (:func:`drop_ignore_boxes`) and eval
+    treats them as ignore regions rather than penalizing detections that
+    land inside them.
+    """
+
+    def __init__(self, img_dir: str, label_dir: str,
+                 class_names: Optional[Sequence[str]] = None):
+        self.img_dir = img_dir
+        self.label_dir = label_dir
+        self.class_names = list(class_names) if class_names \
+            else list(VISDRONE_CLASSES)
+        self.files = sorted(
+            f for f in os.listdir(img_dir)
+            if os.path.splitext(f)[1].lower() in YOLODataset.IMG_EXTS)
+        self.label_to_cat = None  # labels are already contiguous
+
+    def __len__(self):
+        return len(self.files)
+
+    @property
+    def num_classes(self):
+        return len(self.class_names)
+
+    def _parse(self, stem: str):
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        boxes, classes, ignore = [], [], []
+        nc = len(self.class_names)
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                for line in f:
+                    parts = line.strip().rstrip(",").split(",")
+                    if len(parts) < 6:
+                        continue
+                    x, y, w, h = (float(v) for v in parts[:4])
+                    if w <= 0 or h <= 0:
+                        continue
+                    score, cat = int(parts[4]), int(parts[5])
+                    label = cat - 1  # category 1..10 → label 0..9
+                    boxes.append([x, y, x + w, y + h])
+                    if score == 0 or not 0 <= label < nc:
+                        # ignored region (cat 0) / others (cat 11):
+                        # class-agnostic ignore, label sentinel −1
+                        classes.append(-1)
+                        ignore.append(1)
+                    else:
+                        classes.append(label)
+                        ignore.append(0)
+        return boxes, classes, ignore
+
+    def load(self, idx: int) -> Dict:
+        fname = self.files[idx]
+        img = imread_rgb(os.path.join(self.img_dir, fname))
+        stem = os.path.splitext(fname)[0]
+        boxes, classes, ignore = self._parse(stem)
+        # the −1 ignore sentinel stays a valid label for padding code;
+        # drop_ignore_boxes removes these rows before training anyway
+        cls = np.maximum(np.asarray(classes, np.int32), 0)
+        return {
+            "image": img,
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": cls,
+            "iscrowd": np.asarray(ignore, np.int32),
+            "img_id": stem,
+            "file": fname,
+        }
+
+    def gt_for_eval(self, det_eval):
+        nc = len(self.class_names)
+        for idx in range(len(self)):
+            stem = os.path.splitext(self.files[idx])[0]
+            boxes, classes, ignore = self._parse(stem)
+            if not boxes:
+                continue
+            b = np.asarray(boxes, np.float32)
+            xywh = np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
+                             b[:, 3] - b[:, 1]], 1)
+            out_b, out_c, out_i = [], [], []
+            for bb, c, ig in zip(xywh, classes, ignore):
+                if c < 0:  # class-agnostic ignored region: ignore for
+                    # every class (COCO ignore matching is per-category)
+                    for k in range(nc):
+                        out_b.append(bb)
+                        out_c.append(k)
+                        out_i.append(1)
+                else:
+                    out_b.append(bb)
+                    out_c.append(c)
+                    out_i.append(ig)
+            det_eval.add_gt(stem, out_b, out_c, iscrowd=out_i)
 
 
 VOC_CLASSES = (

@@ -42,8 +42,8 @@ class _NullTB:
 
 def build_dataset(dc, split: str = "train"):
     from heltondetection_tpu.data.readers import (CachedDataset, COCODataset,
-                                                  DOTADataset, VOCDataset,
-                                                  YOLODataset)
+                                                  DOTADataset, VisDroneDataset,
+                                                  VOCDataset, YOLODataset)
     ann = dc.train_ann if split == "train" else dc.val_ann
     imgs = dc.train_imgs if split == "train" else dc.val_imgs
     if dc.format == "coco":
@@ -54,6 +54,8 @@ def build_dataset(dc, split: str = "train"):
         ds = DOTADataset(imgs, ann, dc.class_names)
     elif dc.format == "voc":
         ds = VOCDataset(ann, imgs, dc.class_names)
+    elif dc.format == "visdrone":
+        ds = VisDroneDataset(imgs, ann, dc.class_names)
     else:
         raise ValueError(f"unknown dataset format {dc.format}")
     if getattr(dc, "cache_images", False):

@@ -110,6 +110,37 @@ def build_dota_dataset(root, n_images=3, hw=(96, 128), num_classes=4, seed=0):
     return img_dir, lbl_dir, names
 
 
+def build_visdrone_dataset(root, n_images=3, hw=(96, 128), num_classes=10,
+                           seed=0):
+    """VisDrone2019-DET layout: images/ + annotations/*.txt with CSV lines
+    ``left,top,w,h,score,category,trunc,occ``. Image 0 additionally gets an
+    ignored-region row (score=0, category=0) and an ``others`` row
+    (category=11)."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    for i in range(n_images):
+        h, w = hw
+        # objects drawn from the 4 paintable classes; labels live in the
+        # full num_classes space (VisDrone categories 1..num_classes)
+        img, boxes, classes = make_image_with_boxes(
+            rng, h, w, num_classes=min(4, num_classes))
+        stem = f"{i:07d}"
+        cv2.imwrite(os.path.join(img_dir, stem + ".jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        with open(os.path.join(lbl_dir, stem + ".txt"), "w") as f:
+            for b, c in zip(boxes, classes):
+                x1, y1, bw, bh = b
+                f.write(f"{int(x1)},{int(y1)},{int(bw)},{int(bh)},1,"
+                        f"{c + 1},0,0\n")
+            if i == 0:
+                f.write("1,1,30,20,0,0,0,0\n")    # ignored region
+                f.write("5,5,10,10,0,11,0,0\n")   # "others"
+    return img_dir, lbl_dir
+
+
 def build_voc_dataset(root, n_images=4, hw=(96, 128), num_classes=4, seed=0):
     """VOCdevkit layout: Annotations/*.xml + JPEGImages/*.jpg +
     ImageSets/Main/val.txt. Returns (ann_dir, img_dir, split_file, names).

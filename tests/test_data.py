@@ -51,6 +51,42 @@ def test_dota_reader(tmp_path):
     assert (s["boxes"][:, 2] > s["boxes"][:, 0]).all()
 
 
+def test_visdrone_reader(tmp_path):
+    """VisDrone CSV reader: category 1..10 → label 0..9, score==0 /
+    category-0/11 rows become class-agnostic ignore regions (dropped from
+    train GT, registered per-class as ignore at eval)."""
+    from heltondetection_tpu.data.readers import (VisDroneDataset,
+                                                  drop_ignore_boxes)
+    from synth_data import build_visdrone_dataset
+    img_dir, lbl_dir = build_visdrone_dataset(str(tmp_path))
+    ds = VisDroneDataset(img_dir, lbl_dir)
+    assert len(ds) == 3 and ds.num_classes == 10
+    s0 = ds.load(0)
+    assert (s0["boxes"][:, 2] > s0["boxes"][:, 0]).all()
+    # builder appends exactly two ignore rows to image 0
+    assert s0["iscrowd"].sum() == 2 and (s0["iscrowd"][:-2] == 0).all()
+    assert (s0["classes"] >= 0).all() and (s0["classes"] < 10).all()
+    kept = drop_ignore_boxes(s0)
+    assert len(kept["classes"]) == len(s0["classes"]) - 2
+
+    # eval registration: ignore regions expand to every class
+    from heltondetection_tpu.utils.cocoeval import DetEval
+    de = DetEval(10)
+    ds.gt_for_eval(de)
+    n_real = int((s0["iscrowd"] == 0).sum())
+    img0 = [g for (iid, _), lst in de._gts.items() if iid == s0["img_id"]
+            for g in lst]
+    assert len(img0) == n_real + 2 * 10
+    assert sum(crowd for _, crowd, _, _ in img0) == 2 * 10
+
+    # build_dataset dispatch ("visdrone" format)
+    from heltondetection_tpu.configs.base import DataConfig
+    from heltondetection_tpu.engine.runner import build_dataset
+    dc = DataConfig(format="visdrone", train_ann=lbl_dir, train_imgs=img_dir,
+                    val_ann=lbl_dir, val_imgs=img_dir, class_names=None)
+    assert len(build_dataset(dc, "train")) == 3
+
+
 def test_voc_reader(tmp_path):
     """VOC XML reader: Annotations-dir mode, split-file mode, 1-based box
     convention, and difficult→iscrowd (ignore-region) mapping."""
