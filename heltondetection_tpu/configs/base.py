@@ -74,8 +74,8 @@ class TrainConfig:
     hsv: bool = True
     flip_p: float = 0.5
     mixup_p: float = 0.0      # blend two fully-augmented samples (pixel mix
-    # beta(32,32), label union — YOLOv5-v6.1 lineage mixup); host pipelines
-    # only (the device_aug path ignores it and logs a note)
+    # beta(32,32), label union — YOLOv5-v6.1 lineage mixup); supported on
+    # the host pipelines AND device_aug (batch-roll partner on device)
     device_aug: bool = False   # mosaic/flip/HSV as fused on-device XLA ops
     native_loader: bool = True  # C++ batch pipeline (native/loader_core.cpp)
     # when buildable; falls back to the pure-Python path otherwise
