@@ -18,3 +18,14 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["load_detector"]
+
+
+def __getattr__(name):
+    # lazy: importing the package must stay cheap (no jax/flax import cost
+    # until a detector is actually constructed)
+    if name == "load_detector":
+        from heltondetection_tpu.engine.runner import load_detector
+        return load_detector
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -653,6 +653,47 @@ def _read_best_json(cfg) -> Dict[str, float]:
         return {}
 
 
+def load_detector(config, ckpt: Optional[str] = None, **detector_kwargs):
+    """One-liner programmatic API: load a trained run as a ready
+    :class:`~heltondetection_tpu.engine.infer.Detector` (also exported as
+    ``heltondetection_tpu.load_detector``). The CLI's ``--mode test`` path
+    uses the same construction; this is the notebook/script entry the
+    reference's pedagogical audience reaches for.
+
+    ``config``: an :class:`ExperimentConfig` or a path to a config file.
+    ``ckpt``: ``None`` (respect ``cfg.eval.ckpt``), ``"last"``, ``"best"``,
+    or an explicit checkpoint directory. ``detector_kwargs`` override the
+    config's test-time knobs (``conf_thres``, ``iou_thres``, ``tta``,
+    ``tta_scales``, ``max_det``).
+
+    >>> det = heltondetection_tpu.load_detector("configs/myexp.py")
+    >>> boxes, scores, classes = det.detect_image(img_rgb)
+    """
+    import dataclasses as _dc
+
+    from heltondetection_tpu.engine.infer import Detector
+    if isinstance(config, str):
+        from heltondetection_tpu.configs.base import load_config
+        cfg = load_config(config)
+    else:
+        cfg = config
+    model = build_model(cfg.model, cfg.model.num_classes)
+    if ckpt in (None, "last", "best"):
+        if ckpt is not None:
+            cfg = _dc.replace(cfg, eval=_dc.replace(cfg.eval, ckpt=ckpt))
+        variables = _load_eval_variables(cfg, model)
+    else:   # explicit checkpoint directory
+        v = ckpt_io.restore_eval_variables(ckpt)
+        params = v["ema_params"] if v["ema_params"] is not None \
+            else v["params"]
+        variables = {"params": params, "batch_stats": v["batch_stats"]}
+    fwd = _forward_for_eval(cfg, model, variables)
+    kw = dict(conf_thres=cfg.test.conf_thres, iou_thres=cfg.test.iou_thres,
+              tta=cfg.test.tta, tta_scales=cfg.test.tta_scales)
+    kw.update(detector_kwargs)
+    return Detector(fwd, cfg.model.num_classes, cfg.model.img_size, **kw)
+
+
 def run_test(cfg: ExperimentConfig, source: str,
              out_path: Optional[str] = None) -> Dict:
     """--mode test: image or video inference with rendering (+TTA); with

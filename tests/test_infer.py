@@ -133,6 +133,53 @@ def test_detect_batch_tta_matches_single(tiny_detector):
         assert np.array_equal(c1, c2)
 
 
+def test_load_detector_api(tmp_path):
+    """heltondetection_tpu.load_detector: config(+ckpt) → ready Detector —
+    the programmatic one-liner over the same construction --mode test uses.
+    Covers the lazy package export, eval.ckpt override, kwarg overrides,
+    and the explicit-checkpoint-directory branch."""
+    import heltondetection_tpu
+    from heltondetection_tpu.configs.base import (DataConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig)
+    from heltondetection_tpu.engine.runner import build_model
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import TrainState
+    from heltondetection_tpu.utils import ckpt as ckpt_io
+
+    nc = 4
+    cfg = ExperimentConfig(
+        name="ld_api", work_dir=str(tmp_path),
+        data=DataConfig(class_names=["a", "b", "c", "d"]),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=nc,
+                          img_size=64),
+        test=TestConfig(conf_thres=0.01))
+    model = build_model(cfg.model, nc)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1)
+    state = TrainState(v["params"], v.get("batch_stats", {}),
+                       tx.init(v["params"]), jnp.zeros((), jnp.int32),
+                       v["params"])
+    ckpt_io.save_state(cfg.ckpt_dir, jax.device_get(state), 1)
+
+    det = heltondetection_tpu.load_detector(cfg, tta=True,
+                                            tta_scales=(1.0, 0.5))
+    assert det.tta and det.num_classes == nc
+    img = np.random.default_rng(2).integers(0, 255, (96, 128, 3)) \
+        .astype(np.uint8)
+    boxes, scores, classes = det.detect_image(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+
+    # explicit checkpoint-directory branch gives the same detections
+    det2 = heltondetection_tpu.load_detector(cfg, ckpt=cfg.ckpt_dir)
+    b1, s1, c1 = heltondetection_tpu.load_detector(cfg).detect_image(img)
+    b2, s2, c2 = det2.detect_image(img)
+    np.testing.assert_allclose(b1, b2, atol=1e-5)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    assert np.array_equal(c1, c2)
+
+
 @pytest.mark.smoke   # the r2 regression class: RCNN eval-restore + run_test
 def test_run_test_rcnn_heatmaps(tmp_path):
     """--mode test heatmap panels for the two-stage family: FPN activation
