@@ -18,11 +18,7 @@ def count_params(params) -> int:
 def flops_of(fn: Callable, *args) -> float:
     """FLOPs of one call of ``fn(*args)`` per XLA cost analysis (compiled
     for the current default backend)."""
-    compiled = jax.jit(fn).lower(*args).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):  # older jax returns per-device list
-        cost = cost[0]
-    return float(cost.get("flops", float("nan")))
+    return compiled_flops(jax.jit(fn).lower(*args).compile())
 
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # public TPU v5e spec (bf16, per chip)

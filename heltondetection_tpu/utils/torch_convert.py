@@ -21,6 +21,7 @@ running_mean/var→batch_stats.
 
 from __future__ import annotations
 
+import pickle
 from typing import Dict, Mapping, Tuple
 
 import numpy as np
@@ -205,12 +206,15 @@ def load_torchvision_resnet(path: str, allow_pickle: bool = False):
 
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError as e:
+        # the only failure weights_only=False can fix: a full-model pickle
+        # rejected by the safe loader. Everything else (missing file,
+        # corrupt zip, old torch without the kwarg) propagates untouched.
         if not allow_pickle:
             raise ValueError(
                 f"{path} is not a plain tensor state_dict; if you trust "
                 "this file (full-model pickles execute arbitrary code on "
-                "load), pass allow_pickle=True") from None
+                "load), pass allow_pickle=True") from e
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -40,8 +40,19 @@ def main():
     rec = {}
 
     out = _run(["bench.py"])
-    m = re.search(r"\{.*\}", out)
-    rec["serve"] = json.loads(m.group(0)) if m else {"error": out[-300:]}
+    # bench.py's record is the one LINE that parses as JSON with "metric"
+    # — brace-bearing log noise (absl/XLA warnings, retry text) must not
+    # void the record this tool exists to protect
+    rec["serve"] = {"error": out[-300:]}
+    for ln in out.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                obj = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                rec["serve"] = obj
 
     out = _run(["tools/bench_train.py", "128", "packed"])
     rec["yolo_train"] = {
