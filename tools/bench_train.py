@@ -1,7 +1,8 @@
-"""YOLOv5s 640^2 training-step benchmark on the local TPU chip.
+"""YOLOv5 640^2 training-step benchmark on the local TPU chip.
 
-Usage: python tools/bench_train.py [batch] [packed]   (packed = the
-production packed-train head; identical math, see models/yolov5.py)
+Usage: python tools/bench_train.py [batch] [packed] [variant=s]
+(packed = the production packed-train head; identical math, see
+models/yolov5.py)
 
 Run from the repo root (the axon TPU plugin resolves only there).
 """
@@ -13,9 +14,10 @@ from heltondetection_tpu.train.trainer import create_train_state, make_train_ste
 from heltondetection_tpu.train.yolo_loss import YoloLossConfig
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+VARIANT = sys.argv[3] if len(sys.argv) > 3 else "s"
 S, nc, M = 640, 80, 128
 import dataclasses
-model = build_yolov5("s", num_classes=nc, dtype=jnp.bfloat16)
+model = build_yolov5(VARIANT, num_classes=nc, dtype=jnp.bfloat16)
 if len(sys.argv) > 2 and sys.argv[2] == "packed":
     model = dataclasses.replace(model, packed_train=True)
 tx = make_optimizer(1e-3, total_steps=1000, warmup_steps=10)
@@ -45,6 +47,6 @@ float(m["total"])
 dt = (time.perf_counter() - t0) / N
 from heltondetection_tpu.utils.flops import mfu_of
 tfl, pct = mfu_of(step, dt)
-print(f"train b{B}: {dt*1e3:.1f} ms/step  {B/dt:.0f} img/s  "
+print(f"yolov5{VARIANT} train b{B}: {dt*1e3:.1f} ms/step  {B/dt:.0f} img/s  "
       f"{tfl:.1f} TFLOP/s ({pct:.1f}% of v5e bf16 peak)", flush=True)
 
