@@ -16,8 +16,11 @@ Two columns are reported per batch size:
 
 Usage: python tools/bench_latency.py [variant=s] [img=640]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
