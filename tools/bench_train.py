@@ -6,7 +6,8 @@ models/yolov5.py)
 
 Run from the repo root (the axon TPU plugin resolves only there).
 """
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from heltondetection_tpu.models.yolov5 import build_yolov5
 from heltondetection_tpu.train.schedule import make_optimizer
