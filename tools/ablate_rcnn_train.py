@@ -13,6 +13,8 @@ on the real chip) so per-stage cost = difference between adjacent rungs:
 Usage: python tools/ablate_rcnn_train.py [batch] [img] [stages]
 Run from repo root (axon plugin).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import sys, time
 import numpy as np, jax, jax.numpy as jnp
 from heltondetection_tpu.models import faster_rcnn as FR

@@ -11,6 +11,8 @@ object (also saved to BENCH_FULL_r*.json by the round workflow):
 Each path runs as a subprocess so one failure can't void the record.
 Usage: python tools/bench_full.py [out.json]   (~20 min: tunnel compiles)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import json
 import os
 import re

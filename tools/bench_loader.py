@@ -5,6 +5,8 @@ img/s for (a) the Python ThreadPool sample path, (b) the native pool with
 host-decoded (RAM-cached) sources, (c) the native pool decoding JPEGs
 in-pool. Usage: python tools/bench_loader.py [img_size] [batch].
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import sys, tempfile, time
 
 import numpy as np

@@ -5,6 +5,8 @@ the tunnel compiler's program limit)
 
 Run from the repo root (the axon TPU plugin resolves only there).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import time, sys
 import numpy as np, jax, jax.numpy as jnp
 from heltondetection_tpu.models.faster_rcnn import (FasterRCNN, RCNNConfig,

@@ -8,6 +8,8 @@ Usage: python tools/bench_remat.py [batch] [img] [accum] [remat:0|1]
 Prints ms/step, img/s, XLA temp + peak HBM of the compiled step, and MFU.
 Run from the repo root (the axon TPU plugin resolves only there).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import dataclasses
 import sys
 import time

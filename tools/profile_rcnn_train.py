@@ -3,6 +3,8 @@
 Usage: python tools/profile_rcnn_train.py [batch] [img]; writes
 /tmp/jaxtrace_rcnn_train. Parse with tools/xplane_top.py. Run from repo root.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import glob, sys
 import numpy as np, jax, jax.numpy as jnp
 from heltondetection_tpu.models.faster_rcnn import (FasterRCNN, RCNNConfig,

@@ -6,6 +6,8 @@ ready-made parser) or load it in TensorBoard's profile plugin.
 
 Run from the repo root (the axon TPU plugin resolves only there).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import glob, time
 import numpy as np, jax, jax.numpy as jnp
 from heltondetection_tpu.models.yolov5 import build_yolov5

@@ -4,6 +4,8 @@ Usage: python tools/profile_train.py [batch] ; writes /tmp/jaxtrace_train.
 Parse with tools/xplane_top.py. Run from the repo root (the axon TPU
 plugin resolves only there).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import glob, sys
 import numpy as np, jax, jax.numpy as jnp
 import dataclasses

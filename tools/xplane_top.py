@@ -6,6 +6,8 @@ Reads the TPU device plane's XLA-op line and aggregates event durations by
 op name (the per-op breakdown the reference gets from nvprof/nsight; here
 it drives which XLA fusions to attack).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run from anywhere)
 import sys, glob, collections
 
 from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
