@@ -27,8 +27,11 @@ cfg = YoloLossConfig(num_classes=nc, img_size=S)
 step_fn = make_train_step(model, tx, cfg, use_ema=True)
 
 rng = np.random.default_rng(0)
+# uint8 image: the PRODUCTION step contract (run_train transfers uint8 and
+# the jitted step fuses the /255 normalize, runner.py; an f32 feed adds a
+# full-map f32→bf16 convert + relayout the real path never pays)
 batch = {
-    "image": jnp.asarray(rng.uniform(0, 1, (B, S, S, 3)).astype(np.float32)),
+    "image": jnp.asarray(rng.integers(0, 255, (B, S, S, 3)), jnp.uint8),
     "gt_boxes": jnp.asarray(rng.uniform(0, S, (B, M, 4)).astype(np.float32)),
     "gt_cls": jnp.asarray(rng.integers(0, nc, (B, M)).astype(np.int32)),
     "gt_mask": jnp.asarray(rng.uniform(0, 1, (B, M)) < 0.2),
