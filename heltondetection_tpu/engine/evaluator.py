@@ -108,19 +108,40 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
 
     model_p = dataclasses.replace(model, packed_head=True)
     vp = pack_head_variables(variables, num_classes)
+    apply_fn = _packed_apply_fn(model_p, num_classes, conf_thres=conf_thres,
+                                iou_thres=iou_thres,
+                                pre_nms_topk=pre_nms_topk, max_det=max_det,
+                                approx=approx, multi_label=multi_label,
+                                normalize=normalize)
+
+    def step(images):
+        return apply_fn(vp, images)
+
+    return step
+
+
+def _packed_apply_fn(model_p, num_classes: int, *, conf_thres, iou_thres,
+                     pre_nms_topk, max_det, approx, multi_label,
+                     normalize) -> Callable:
+    """The packed serve computation with the PACKED variables as an
+    argument: ``apply_fn(vp, images) -> dets``. Jitting THIS (once) and
+    partial-binding fresh variables per eval keeps XLA's compile cache hot
+    across in-loop evals — the closure form above re-traces per build."""
+    from heltondetection_tpu.ops.postprocess import make_fused_postprocess
+
     post = make_fused_postprocess(num_classes, conf_thres=conf_thres,
                                   iou_thres=iou_thres,
                                   pre_nms_topk=pre_nms_topk,
                                   max_det=max_det, approx=approx,
                                   max_cls_per_box=4 if multi_label else 1)
 
-    def step(images):
+    def apply_fn(vp, images):
         if normalize:
             images = images.astype(jnp.float32) / 255.0
         outs = model_p.apply(vp, images, train=False)
         return post(outs)
 
-    return step
+    return apply_fn
 
 
 class Evaluator:
@@ -136,7 +157,8 @@ class Evaluator:
                  conf_thres: float = 0.001, iou_thres: float = 0.65,
                  pre_nms_topk: int = 1024, max_det: int = 300,
                  multi_label: bool = True, use_pallas: bool = False,
-                 mesh=None, step_fn: Optional[Callable] = None):
+                 mesh=None, step_fn: Optional[Callable] = None,
+                 jit_step: bool = True):
         """``mesh``: optional jax.sharding.Mesh — eval batches are sharded
         over its 'data' axis so multi-chip eval needs no other changes
         (the reference's DDP eval is rank-0-only, SURVEY.md §3.1; here all
@@ -147,9 +169,30 @@ class Evaluator:
         valid (B,K))``. Used by the fused packed-head serve path
         (ops/postprocess.make_fused_postprocess), which runs ~1.5× the
         throughput of the decode_full route.
+
+        ``jit_step=False``: ``step_fn`` is ALREADY jitted (e.g. a
+        functools.partial over a persistent jitted (variables, images)
+        function) — use it as-is. Wrapping it in another jax.jit (or the
+        AUTO-layout compile below) would re-trace and re-compile per
+        Evaluator, defeating the jit-cache reuse that in-loop eval relies
+        on (run_eval's ``_reuse``).
         """
         self.num_classes = num_classes
         self._mesh = mesh
+        if not jit_step:
+            assert step_fn is not None, "jit_step=False requires step_fn"
+            if mesh is not None:
+                from heltondetection_tpu.parallel.mesh import batch_sharding
+                sharding = batch_sharding(mesh)
+
+                def _sharded(images, _inner=step_fn):
+                    return _inner(jax.device_put(jnp.asarray(images),
+                                                 sharding))
+
+                self._step = _sharded
+            else:
+                self._step = step_fn
+            return
         if step_fn is not None:
             raw_step = step_fn
         else:

@@ -134,16 +134,29 @@ def _forward_for_eval(cfg: ExperimentConfig, model, variables):
 
 
 def run_eval(cfg: ExperimentConfig, variables=None, model=None,
-             verbose: bool = True, dump_json: Optional[str] = None
-             ) -> Dict[str, float]:
+             verbose: bool = True, dump_json: Optional[str] = None,
+             _reuse: Optional[Dict] = None) -> Dict[str, float]:
     """--mode eval: val set → mAP (+ FLOPs/Params, README.md:24).
 
     ``dump_json``: also write the accumulated detections as a standard
     COCO results JSON (pycocotools loadRes / mmdet --format-only
     submission format), with labels mapped back to original category ids.
+
+    ``_reuse``: a dict owned by the caller (run_train's in-loop eval) that
+    persists the expensive constructions across calls — the parsed val
+    dataset, the GT-registered DetEval (detections reset per call), and
+    the JITTED (variables, images) step so XLA's compile cache hits every
+    epoch instead of re-tracing a fresh closure (tens of seconds per eval
+    otherwise). One-shot eval (``--mode eval``) passes None and behaves
+    exactly as before.
     """
     logger = get_logger()
-    ds = build_dataset(cfg.data, "val")
+    if _reuse is not None and "ds" in _reuse:
+        ds = _reuse["ds"]
+    else:
+        ds = build_dataset(cfg.data, "val")
+        if _reuse is not None:
+            _reuse["ds"] = ds
     nc = ds.num_classes or cfg.model.num_classes
     if model is None:
         model = build_model(cfg.model, nc)
@@ -159,7 +172,46 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             and cfg.eval.batch_size % n_dev == 0):
         mesh = create_mesh()
         logger.info("eval sharded over %d devices", n_dev)
-    if cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True):
+    fused = cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True)
+    if _reuse is not None:
+        # persistent jitted (variables, images) step: partial-bind this
+        # eval's variables; jax.jit caches on the underlying fn identity
+        import functools
+        jfn = _reuse.get("jfn")
+        if jfn is None:
+            if fused:
+                import dataclasses as _dc
+                from heltondetection_tpu.engine.evaluator import \
+                    _packed_apply_fn
+                model_p = _dc.replace(model, packed_head=True)
+                jfn = jax.jit(_packed_apply_fn(
+                    model_p, nc, conf_thres=cfg.eval.conf_thres,
+                    iou_thres=cfg.eval.iou_thres, pre_nms_topk=1024,
+                    max_det=cfg.eval.max_det,
+                    approx=getattr(cfg.eval, "approx", False),
+                    multi_label=multi_label, normalize=True))
+            else:
+                from heltondetection_tpu.engine.evaluator import \
+                    make_postprocess
+                post = make_postprocess(nc, conf_thres=cfg.eval.conf_thres,
+                                        iou_thres=cfg.eval.iou_thres,
+                                        max_det=cfg.eval.max_det,
+                                        multi_label=multi_label)
+
+                def _raw(v, images):
+                    boxes, obj, cls = _forward_for_eval(cfg, model, v)(images)
+                    return post(boxes, obj, cls)
+
+                jfn = jax.jit(_raw)
+            _reuse["jfn"] = jfn
+        if fused:
+            from heltondetection_tpu.models.yolov5 import pack_head_variables
+            bound = pack_head_variables(variables, nc)
+        else:
+            bound = variables
+        step = functools.partial(jfn, bound)
+        ev = Evaluator(None, nc, step_fn=step, mesh=mesh, jit_step=False)
+    elif fused:
         # fused packed-head serve path (ops/postprocess.py): ~1.5× the
         # decode_full route's throughput, same pycocotools verdicts
         from heltondetection_tpu.engine.evaluator import \
@@ -178,8 +230,14 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                        iou_thres=cfg.eval.iou_thres,
                        max_det=cfg.eval.max_det, multi_label=multi_label,
                        mesh=mesh)
-    det = DetEval(nc)
-    ds.gt_for_eval(det)
+    if _reuse is not None and "det" in _reuse:
+        det = _reuse["det"]
+        det.reset_dets()
+    else:
+        det = DetEval(nc)
+        ds.gt_for_eval(det)
+        if _reuse is not None:
+            _reuse["det"] = det
     eval_pipe = None
     if cfg.train.native_loader:
         from heltondetection_tpu.data.native_loader import (
@@ -279,7 +337,11 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                          f"divisible by grad_accum ({accum})")
     init_distributed()
     pid, nproc = jax.process_index(), jax.process_count()
-    logger = get_logger(log_file=os.path.join(cfg.log_dir, "train.log"))
+    # file handler rank-0-only (like TB below): N ranks appending to one
+    # shared train.log interleave corrupted lines; stream logging stays on
+    # every rank
+    logger = get_logger(log_file=os.path.join(cfg.log_dir, "train.log")
+                        if pid == 0 else None)
     tb = TBWriter(cfg.log_dir) if pid == 0 else _NullTB()
     ds = build_dataset(cfg.data, "train")
     nc = ds.num_classes or cfg.model.num_classes
@@ -333,7 +395,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         loader = TrainLoader(pipe, cfg.train.batch_size, seed=cfg.train.seed,
                              num_workers=cfg.train.num_workers,
                              shard=(pid, nproc))
-    steps_per_epoch = max(loader.steps_per_epoch(), 1)
+    steps_per_epoch = loader.steps_per_epoch()
+    if steps_per_epoch < 1:
+        # a zero-step epoch would silently "train" nothing while still
+        # checkpointing and evaluating the init
+        raise ValueError(
+            f"dataset yields 0 steps/epoch: {len(ds)} images < global "
+            f"batch_size {cfg.train.batch_size} — shrink train.batch_size "
+            "or add data")
     total_steps = steps_per_epoch * cfg.train.epochs
     tx = make_optimizer(cfg.train.lr, total_steps=total_steps,
                         warmup_steps=int(cfg.train.warmup_epochs *
@@ -505,6 +574,14 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         raise ValueError(
             f"multi-host run ({nproc} processes) needs batch_size "
             f"({cfg.train.batch_size}) divisible by device count ({n_dev})")
+    elif n_dev > 1:
+        # single-process fallback to ONE device: legitimate for tiny debug
+        # batches, but never silent — 7 of 8 chips idling looks identical
+        # to a healthy run otherwise
+        logger.warning(
+            "batch_size %d not divisible by the %d visible devices — "
+            "training on ONE device only; make batch_size a multiple of "
+            "%d for data parallelism", cfg.train.batch_size, n_dev, n_dev)
     if mesh is not None and accum > 1 \
             and (cfg.train.batch_size // accum) % mesh.shape["data"]:
         # each scanned micro-batch must itself shard over the data axis
@@ -553,9 +630,15 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
 def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                   logger, start_epoch, steps_per_epoch, model, writer=None,
                   best_writer=None):
-    # seed with a previous run's best (best.json) so a resumed run's first
-    # eval cannot overwrite a better snapshot in the one-slot ckpt_best/
-    best: Dict[str, float] = _read_best_json(cfg) if start_epoch else {}
+    # seed with a previous run's best (best.json) so a restarted run's
+    # first eval cannot overwrite a better snapshot in the one-slot
+    # ckpt_best/ — read UNCONDITIONALLY: a crash before the first rotating
+    # ckpt (or an incompatible-checkpoint fresh start) restarts at
+    # start_epoch 0 yet ckpt_best/ may already hold a better model
+    best: Dict[str, float] = _read_best_json(cfg)
+    # in-loop eval reuse: parsed val set, GT-registered DetEval, and the
+    # jitted eval step persist across epochs (run_eval's _reuse contract)
+    eval_reuse: Dict = {}
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         agg: Dict[str, float] = {}
@@ -584,9 +667,12 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
             else:
                 state, metrics = step_fn(state, batch)
             n_steps += 1
+            # accumulate DEVICE scalars: a float(v) here would sync every
+            # step, serializing host prep/transfer behind device compute
+            # (the evaluator pipelines the same way); one fetch per epoch
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+                agg[k] = agg.get(k, 0.0) + v
+        agg = {k: float(v) / max(n_steps, 1) for k, v in agg.items()}
         tb.scalars(epoch, agg, prefix="train/")
         logger.info("epoch %d/%d  %.1fs  %s", epoch + 1, cfg.train.epochs,
                     time.time() - t0,
@@ -613,7 +699,7 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                          "batch_stats": jax.device_get(state.batch_stats)}
             if cfg.data.val_ann:
                 stats = run_eval(cfg, variables=variables, model=model,
-                                 verbose=False)
+                                 verbose=False, _reuse=eval_reuse)
                 tb.scalars(epoch, {"AP": stats["AP"],
                                    "AP50": stats["AP50"]}, prefix="val/")
                 logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,

@@ -29,19 +29,27 @@ def _mp_options():
                                               active_processes={pid})
 
 
-def _root_dir_and_create(ckpt_dir: str):
+def _root_dir_and_create(ckpt_dir: str, want_create: bool = True):
     """orbax forbids create=True together with a custom active_processes
-    set — under multi-process we create the root ourselves instead."""
+    set — under multi-process we create the root ourselves instead.
+    ``want_create=False`` is the RESTORE/query contract: never create the
+    directory as a side effect (a mistyped eval path must fail, not leave
+    an empty ckpt tree that makes later isdir guards pass)."""
     path = os.path.abspath(ckpt_dir)
     mp = _mp_options()
+    if not want_create:
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        return path, mp, False
     if mp.active_processes is None:
         return path, mp, True
     os.makedirs(path, exist_ok=True)
     return path, mp, False
 
 
-def _mgr(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
-    path, mp, create = _root_dir_and_create(ckpt_dir)
+def _mgr(ckpt_dir: str, max_to_keep: int = 3,
+         create: bool = True) -> ocp.CheckpointManager:
+    path, mp, create = _root_dir_and_create(ckpt_dir, create)
     return ocp.CheckpointManager(
         path,
         options=ocp.CheckpointManagerOptions(
@@ -100,7 +108,7 @@ class CheckpointWriter:
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    with _mgr(ckpt_dir) as mgr:
+    with _mgr(ckpt_dir, create=False) as mgr:
         return mgr.latest_step()
 
 
@@ -109,7 +117,7 @@ def restore_state(ckpt_dir: str, template: Any,
     """Restore into the structure/shardings of ``template`` (an abstract or
     concrete TrainState). Enables resume-after-restart (SURVEY.md §5
     checkpoint/resume)."""
-    with _mgr(ckpt_dir) as mgr:
+    with _mgr(ckpt_dir, create=False) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
@@ -131,7 +139,7 @@ def restore_eval_variables(ckpt_dir: str,
     target structure) sidesteps the optimizer entirely; the reference's
     eval loads bare weights the same way (SURVEY.md §3.2).
     """
-    with _mgr(ckpt_dir) as mgr:
+    with _mgr(ckpt_dir, create=False) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
@@ -152,11 +160,14 @@ def load_params_for_transfer(ckpt_dir: str, template_params: Any,
     """Load only matching params (by tree path + shape) from a checkpointed
     TrainState into ``template_params`` — mismatched heads (e.g. different
     num_classes, the COCOPretrain→VOC transfer of README.md:79) keep their
-    fresh init."""
+    fresh init. Raises FileNotFoundError on a missing/empty checkpoint dir
+    (like its sibling restore functions) instead of a cryptic orbax error."""
     import numpy as np
 
-    with _mgr(ckpt_dir) as mgr:
+    with _mgr(ckpt_dir, create=False) as mgr:
         step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         restored = mgr.restore(step)
     src = restored["params"] if isinstance(restored, dict) and \
         "params" in restored else restored[0]

@@ -101,6 +101,13 @@ class DetEval:
                  int(ignore[i]) or int(iscrowd[i])))
             self._cat_ids.add(int(classes[i]))
 
+    def reset_dets(self):
+        """Clear accumulated detections (keep the GT): lets in-loop eval
+        register the val GT once and re-score fresh detections each epoch
+        instead of re-parsing annotations per eval."""
+        self._dts.clear()
+        self._prep_cache.clear()
+
     def add_det(self, img_id, boxes_xywh, scores, classes):
         boxes_xywh = np.asarray(boxes_xywh, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64).reshape(-1)

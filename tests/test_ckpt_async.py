@@ -98,6 +98,27 @@ def test_eval_restore_ignores_optimizer_layout(tmp_path):
             np.asarray(bstats["bn"]["mean"]))
 
 
+def test_restore_paths_never_create_dirs(tmp_path):
+    """Restore/query functions must FAIL on a mistyped path, not create an
+    empty ckpt tree as a side effect (which would make later isdir guards
+    pass) — round-3 review finding."""
+    import os
+    missing = str(tmp_path / "typo" / "ckpt")
+    with pytest.raises(FileNotFoundError):
+        ckpt_io.restore_eval_variables(missing)
+    with pytest.raises(FileNotFoundError):
+        ckpt_io.restore_state(missing, _state(0))
+    with pytest.raises(FileNotFoundError):
+        ckpt_io.load_params_for_transfer(missing, _state(0).params)
+    assert not os.path.exists(missing)
+    # an existing-but-empty dir raises the same clear error everywhere
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        ckpt_io.load_params_for_transfer(empty, _state(0).params)
+    assert ckpt_io.latest_step(missing) is None   # query stays a no-op
+
+
 def test_best_json_round_trip(tmp_path):
     """best.json seeds `best` across resume so a worse post-restart eval
     can't overwrite the genuinely best one-slot snapshot."""

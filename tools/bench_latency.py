@@ -79,11 +79,55 @@ def bench_variant(variant: str, img: int, batches=(1, 4, 8)):
     return rows
 
 
+def bench_rcnn(img: int = 832, batches=(1, 4, 8)):
+    """FasterRCNN-R50-FPN latency (full two-stage infer incl. RPN NMS,
+    RoIAlign, box head, final class-aware NMS)."""
+    from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
+        RCNNConfig, faster_rcnn_infer, init_faster_rcnn)
+
+    cfg = RCNNConfig(num_classes=80, img_size=img)
+    model = FasterRCNN(cfg, dtype=jnp.bfloat16)
+    variables = init_faster_rcnn(model, jax.random.PRNGKey(0), img)
+
+    def step(images_u8):
+        images = images_u8.astype(jnp.float32) / 255.0
+        return faster_rcnn_infer(model, variables, images, cfg)
+
+    for b in batches:
+        fn = jax.jit(step)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (b, img, img, 3)).astype(np.uint8)
+        for _ in range(WARMUP):
+            np.asarray(fn(jnp.asarray(frames))[0])
+        t = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            np.asarray(fn(jnp.asarray(frames))[0])
+            t.append(time.perf_counter() - t0)
+        disp_ms = 1e3 * float(np.median(t))
+        p99_ms = 1e3 * float(np.quantile(t, 0.99))
+        x = jax.device_put(frames)
+        for _ in range(WARMUP):
+            np.asarray(fn(x)[0])
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(ITERS):
+            acc = fn(x)
+        np.asarray(acc[0])
+        dev_ms = 1e3 * (time.perf_counter() - t0) / ITERS
+        print(f"rcnn-r50 {img}² b{b:<3d} dispatch {disp_ms:7.2f} ms "
+              f"(p99 {p99_ms:7.2f})   device {dev_ms:7.2f} ms "
+              f"({1e3 * b / dev_ms:7.1f} img/s)")
+
+
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "s"
     img = int(sys.argv[2]) if len(sys.argv) > 2 else 640
     print("devices:", jax.devices())
-    bench_variant(variant, img)
+    if variant == "rcnn":
+        bench_rcnn(img)
+    else:
+        bench_variant(variant, img)
 
 
 if __name__ == "__main__":
