@@ -43,10 +43,11 @@ def main(argv=None):
         print({k: (v.tolist() if hasattr(v, "tolist") else v)
                for k, v in out.items()})
     elif args.mode == "export":
-        from heltondetection_tpu.engine.runner import (_load_eval_variables,
+        from heltondetection_tpu.engine.runner import (_config_num_classes,
+                                                       _load_eval_variables,
                                                        build_model)
         from heltondetection_tpu.engine.export import export_model
-        model = build_model(cfg.model, cfg.model.num_classes)
+        model = build_model(cfg.model, _config_num_classes(cfg))
         variables = _load_eval_variables(cfg, model)
         export_model(cfg, model, variables, args.out or "model.stablehlo")
     return 0

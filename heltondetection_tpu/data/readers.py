@@ -314,7 +314,10 @@ class VisDroneDataset:
         self.files = sorted(
             f for f in os.listdir(img_dir)
             if os.path.splitext(f)[1].lower() in YOLODataset.IMG_EXTS)
-        self.label_to_cat = None  # labels are already contiguous
+        # VisDrone's native category ids are 1..10 (0 = ignored regions,
+        # 11 = others); _parse maps them to labels 0..9, so results-JSON
+        # dumps must map back (+1) to score against the original files
+        self.label_to_cat = {i: i + 1 for i in range(len(self.class_names))}
 
     def __len__(self):
         return len(self.files)

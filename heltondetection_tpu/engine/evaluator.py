@@ -180,7 +180,8 @@ class Evaluator:
         self.num_classes = num_classes
         self._mesh = mesh
         if not jit_step:
-            assert step_fn is not None, "jit_step=False requires step_fn"
+            if step_fn is None:
+                raise ValueError("jit_step=False requires step_fn")
             if mesh is not None:
                 from heltondetection_tpu.parallel.mesh import batch_sharding
                 sharding = batch_sharding(mesh)

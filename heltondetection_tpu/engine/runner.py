@@ -110,14 +110,19 @@ def _frozen_prefixes(mc) -> tuple:
 
 def _forward_for_eval(cfg: ExperimentConfig, model, variables):
     """raw uint8 images → (boxes, obj, cls) unified eval contract (the
-    /255 normalization is fused on device, BASELINE.json N7)."""
+    /255 normalization is fused on device, BASELINE.json N7).
+
+    The decode width comes from the MODEL (the head's actual class count),
+    never cfg.model.num_classes — run_train derives num_classes from the
+    annotations when they disagree with the config, and mixing the two
+    sources here decodes a trained head at the wrong channel count."""
     if cfg.model.family == "yolov5":
         from heltondetection_tpu.models.yolov5 import decode_full
 
         def fwd(images):
             images = images.astype(jnp.float32) / 255.0
             outs = model.apply(variables, images, train=False)
-            return decode_full(outs, cfg.model.num_classes)
+            return decode_full(outs, model.num_classes)
         return fwd
 
     from heltondetection_tpu.models.faster_rcnn import faster_rcnn_infer
@@ -127,10 +132,34 @@ def _forward_for_eval(cfg: ExperimentConfig, model, variables):
         ob, os_, oc, ov = faster_rcnn_infer(model, variables, images,
                                             model.cfg)
         # adapt fixed dets to the (boxes, obj, cls) contract: one-hot cls
-        nc = cfg.model.num_classes
+        nc = model.cfg.num_classes
         cls = jax.nn.one_hot(jnp.maximum(oc, 0), nc) * ov[..., None]
         return ob, os_, cls
     return fwd
+
+
+def _config_num_classes(cfg: ExperimentConfig) -> int:
+    """The class count a train run of this config uses (run_train:
+    ``ds.num_classes or cfg.model.num_classes``), derivable without a
+    dataset object: explicit ``data.class_names`` win, else the val (or
+    train) annotations are parsed for their category count, else
+    ``cfg.model.num_classes``. Keeps test/export-time model construction
+    consistent with the checkpoint that training actually wrote."""
+    if cfg.data.class_names:
+        return len(cfg.data.class_names)
+    if cfg.data.val_ann or cfg.data.train_ann:
+        split = "val" if cfg.data.val_ann else "train"
+        try:
+            nc = build_dataset(cfg.data, split).num_classes
+            if nc:
+                return nc
+        except (OSError, ValueError) as e:   # dataset not mounted here —
+            # legitimate for pure-inference hosts; the config value rules
+            get_logger().info(
+                "could not derive num_classes from %s annotations (%s); "
+                "using cfg.model.num_classes=%d", split, e,
+                cfg.model.num_classes)
+    return cfg.model.num_classes
 
 
 def run_eval(cfg: ExperimentConfig, variables=None, model=None,
@@ -209,6 +238,14 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             bound = pack_head_variables(variables, nc)
         else:
             bound = variables
+        # stage the weight tree on device ONCE per eval: the tree arrives
+        # as host numpy (run_train device_gets it), and numpy jit args are
+        # re-uploaded on EVERY call — per-batch H2D of the full weights
+        if mesh is not None:
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            bound = jax.device_put(bound, rep)
+        else:
+            bound = jax.device_put(bound)
         step = functools.partial(jfn, bound)
         ev = Evaluator(None, nc, step_fn=step, mesh=mesh, jit_step=False)
     elif fused:
@@ -763,7 +800,8 @@ def load_detector(config, ckpt: Optional[str] = None, **detector_kwargs):
         cfg = load_config(config)
     else:
         cfg = config
-    model = build_model(cfg.model, cfg.model.num_classes)
+    nc = _config_num_classes(cfg)
+    model = build_model(cfg.model, nc)
     if ckpt in (None, "last", "best"):
         if ckpt is not None:
             cfg = _dc.replace(cfg, eval=_dc.replace(cfg.eval, ckpt=ckpt))
@@ -777,7 +815,7 @@ def load_detector(config, ckpt: Optional[str] = None, **detector_kwargs):
     kw = dict(conf_thres=cfg.test.conf_thres, iou_thres=cfg.test.iou_thres,
               tta=cfg.test.tta, tta_scales=cfg.test.tta_scales)
     kw.update(detector_kwargs)
-    return Detector(fwd, cfg.model.num_classes, cfg.model.img_size, **kw)
+    return Detector(fwd, nc, cfg.model.img_size, **kw)
 
 
 def run_test(cfg: ExperimentConfig, source: str,
@@ -787,10 +825,11 @@ def run_test(cfg: ExperimentConfig, source: str,
     objectness-map panels (the reference's demo/1.jpg, demo/2.jpg style)."""
     from heltondetection_tpu.engine.infer import Detector
     ds_names = cfg.data.class_names
-    model = build_model(cfg.model, cfg.model.num_classes)
+    nc = _config_num_classes(cfg)
+    model = build_model(cfg.model, nc)
     variables = _load_eval_variables(cfg, model)
     fwd = _forward_for_eval(cfg, model, variables)
-    det = Detector(fwd, cfg.model.num_classes, cfg.model.img_size,
+    det = Detector(fwd, nc, cfg.model.img_size,
                    conf_thres=cfg.test.conf_thres,
                    iou_thres=cfg.test.iou_thres, tta=cfg.test.tta,
                    tta_scales=cfg.test.tta_scales)

@@ -114,7 +114,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if coordinator_address is None and num_processes is None:
         if jax.process_count() > 1:
             return True                       # already initialised
-        markers = ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
+        markers = ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "NPROC",
                    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
                    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
                    "CLOUD_TPU_TASK_ID")

@@ -61,6 +61,9 @@ def test_visdrone_reader(tmp_path):
     img_dir, lbl_dir = build_visdrone_dataset(str(tmp_path))
     ds = VisDroneDataset(img_dir, lbl_dir)
     assert len(ds) == 3 and ds.num_classes == 10
+    # results-JSON dumps must map labels 0..9 back to native categories
+    # 1..10 (0/11 are the ignore/others pseudo-categories)
+    assert ds.label_to_cat == {i: i + 1 for i in range(10)}
     s0 = ds.load(0)
     assert (s0["boxes"][:, 2] > s0["boxes"][:, 0]).all()
     # builder appends exactly two ignore rows to image 0

@@ -341,6 +341,13 @@ def test_init_distributed_failed_bootstrap_raises(monkeypatch):
     with pytest.raises(RuntimeError):
         pmesh.init_distributed()
     monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+    # NPROC is honored as a size marker in the re-raise path, so it must
+    # also TRIGGER init — otherwise an NPROC-only launch never attempts
+    # distributed init and silently runs N independent trainings
+    monkeypatch.setenv("NPROC", "4")
+    with pytest.raises(RuntimeError):
+        pmesh.init_distributed()
+    monkeypatch.delenv("NPROC")
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b,host-c")
     with pytest.raises(RuntimeError):
         pmesh.init_distributed()

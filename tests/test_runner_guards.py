@@ -92,3 +92,53 @@ def test_run_eval_reuse_matches_fresh(tmp_path):
                      _reuse=reuse)
     assert reuse["jfn"] is jfn
     assert "num_images" in third and third["num_images"] == 4
+
+
+def test_config_num_classes_sources(tmp_path):
+    """_config_num_classes derives the class count the way run_train does
+    (annotation-driven when available) so test/export-time model
+    construction matches the checkpoint training wrote: explicit
+    class_names win, else the annotations' category count, else
+    cfg.model.num_classes (review finding: load_detector built an 80-class
+    decode over a ds-derived head)."""
+    from heltondetection_tpu.engine.runner import _config_num_classes
+
+    # annotation-derived: 4 categories beat the default num_classes=80
+    cfg = _tiny_cfg(tempfile.mkdtemp(), str(tmp_path))
+    cfg.model.num_classes = 80
+    assert _config_num_classes(cfg) == 4
+    # explicit class_names beat everything
+    cfg.data.class_names = ["a", "b", "c"]
+    assert _config_num_classes(cfg) == 3
+    # no data reachable → config value, with a log instead of a crash
+    cfg.data.class_names = None
+    cfg.data.val_ann = os.path.join(str(tmp_path), "missing.json")
+    cfg.data.train_ann = ""
+    assert _config_num_classes(cfg) == 80
+
+
+def test_load_detector_annotation_derived_classes(tmp_path):
+    """load_detector on a config whose annotations define fewer classes
+    than cfg.model.num_classes must restore the trained head (the class
+    count run_train actually used), not a mis-shaped config-width one."""
+    import heltondetection_tpu
+    from heltondetection_tpu.train.trainer import TrainState
+    from heltondetection_tpu.train.schedule import make_optimizer
+
+    cfg = _tiny_cfg(tempfile.mkdtemp(), str(tmp_path))
+    cfg.model.num_classes = 80     # stale config value; annotations say 4
+    model = build_model(cfg.model, 4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1)
+    state = TrainState(v["params"], v.get("batch_stats", {}),
+                       tx.init(v["params"]), jnp.zeros((), jnp.int32),
+                       v["params"])
+    ckpt_io.save_state(cfg.ckpt_dir, jax.device_get(state), 1)
+
+    det = heltondetection_tpu.load_detector(cfg)
+    assert det.num_classes == 4
+    img = np.random.default_rng(5).integers(0, 255, (96, 128, 3)) \
+        .astype(np.uint8)
+    boxes, scores, classes = det.detect_image(img)
+    assert (classes < 4).all()

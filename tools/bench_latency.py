@@ -30,6 +30,43 @@ WARMUP = 5
 ITERS = 30
 
 
+def _measure(fn, frames, label: str):
+    """One row of the latency table for a jitted step over ``frames``:
+    synced-dispatch median/p99 (put → step → fetch per call) plus the
+    pre-staged pipelined device time. Shared by every model family so the
+    sync/timing methodology can never drift between benchmarks."""
+    b = frames.shape[0]
+
+    # ---- dispatch latency: full put→step→fetch per call, synced ----
+    for _ in range(WARMUP):
+        out = fn(jnp.asarray(frames))
+        np.asarray(out[0])
+    t = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(jnp.asarray(frames))
+        np.asarray(out[0])   # fetch = the only trustworthy sync (axon)
+        t.append(time.perf_counter() - t0)
+    disp_ms = 1e3 * float(np.median(t))
+    p99_ms = 1e3 * float(np.quantile(t, 0.99))
+
+    # ---- device time: pre-staged input, pipelined, one end fetch ----
+    x = jax.device_put(frames)
+    for _ in range(WARMUP):
+        np.asarray(fn(x)[0])
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(ITERS):
+        acc = fn(x)
+    np.asarray(acc[0])
+    dev_ms = 1e3 * (time.perf_counter() - t0) / ITERS
+
+    print(f"{label} b{b:<3d} dispatch {disp_ms:7.2f} ms "
+          f"(p99 {p99_ms:7.2f})   device {dev_ms:7.2f} ms "
+          f"({1e3 * b / dev_ms:7.1f} img/s)")
+    return b, disp_ms, p99_ms, dev_ms
+
+
 def bench_variant(variant: str, img: int, batches=(1, 4, 8)):
     from heltondetection_tpu.engine.evaluator import make_packed_serve_step
     from heltondetection_tpu.models.yolov5 import build_yolov5
@@ -43,39 +80,10 @@ def bench_variant(variant: str, img: int, batches=(1, 4, 8)):
                                   iou_thres=0.45, pre_nms_topk=1024)
 
     rows = []
+    rng = np.random.default_rng(0)
     for b in batches:
-        fn = jax.jit(step)
-        rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, (b, img, img, 3)).astype(np.uint8)
-
-        # ---- dispatch latency: full put→step→fetch per call, synced ----
-        for _ in range(WARMUP):
-            out = fn(jnp.asarray(frames))
-            np.asarray(out[0])
-        t = []
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            out = fn(jnp.asarray(frames))
-            np.asarray(out[0])   # fetch = the only trustworthy sync (axon)
-            t.append(time.perf_counter() - t0)
-        disp_ms = 1e3 * float(np.median(t))
-        p99_ms = 1e3 * float(np.quantile(t, 0.99))
-
-        # ---- device time: pre-staged input, pipelined, one end fetch ----
-        x = jax.device_put(frames)
-        for _ in range(WARMUP):
-            np.asarray(fn(x)[0])
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(ITERS):
-            acc = fn(x)
-        np.asarray(acc[0])
-        dev_ms = 1e3 * (time.perf_counter() - t0) / ITERS
-
-        rows.append((b, disp_ms, p99_ms, dev_ms))
-        print(f"yolov5{variant} {img}² b{b:<3d} dispatch {disp_ms:7.2f} ms "
-              f"(p99 {p99_ms:7.2f})   device {dev_ms:7.2f} ms "
-              f"({1e3 * b / dev_ms:7.1f} img/s)")
+        rows.append(_measure(jax.jit(step), frames, f"yolov5{variant} {img}²"))
     return rows
 
 
@@ -93,31 +101,12 @@ def bench_rcnn(img: int = 832, batches=(1, 4, 8)):
         images = images_u8.astype(jnp.float32) / 255.0
         return faster_rcnn_infer(model, variables, images, cfg)
 
+    rows = []
+    rng = np.random.default_rng(0)
     for b in batches:
-        fn = jax.jit(step)
-        rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, (b, img, img, 3)).astype(np.uint8)
-        for _ in range(WARMUP):
-            np.asarray(fn(jnp.asarray(frames))[0])
-        t = []
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            np.asarray(fn(jnp.asarray(frames))[0])
-            t.append(time.perf_counter() - t0)
-        disp_ms = 1e3 * float(np.median(t))
-        p99_ms = 1e3 * float(np.quantile(t, 0.99))
-        x = jax.device_put(frames)
-        for _ in range(WARMUP):
-            np.asarray(fn(x)[0])
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(ITERS):
-            acc = fn(x)
-        np.asarray(acc[0])
-        dev_ms = 1e3 * (time.perf_counter() - t0) / ITERS
-        print(f"rcnn-r50 {img}² b{b:<3d} dispatch {disp_ms:7.2f} ms "
-              f"(p99 {p99_ms:7.2f})   device {dev_ms:7.2f} ms "
-              f"({1e3 * b / dev_ms:7.1f} img/s)")
+        rows.append(_measure(jax.jit(step), frames, f"rcnn-r50 {img}²"))
+    return rows
 
 
 def main():
