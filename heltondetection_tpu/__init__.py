@@ -19,7 +19,7 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-__all__ = ["load_detector"]
+__all__ = ["load_detector", "BatchingDetector", "serve_http"]
 
 
 def __getattr__(name):
@@ -28,4 +28,7 @@ def __getattr__(name):
     if name == "load_detector":
         from heltondetection_tpu.engine.runner import load_detector
         return load_detector
+    if name in ("BatchingDetector", "serve_http"):
+        from heltondetection_tpu.engine import serve
+        return getattr(serve, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -6,6 +6,8 @@
         --source img.jpg --out out.jpg
     python -m heltondetection_tpu.cli --mode export --config cfg.py \
         --out model.stablehlo
+    python -m heltondetection_tpu.cli --mode serve --config cfg.py \
+        --port 8000 --serve-batch 16
 """
 
 from __future__ import annotations
@@ -17,13 +19,20 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser("heltondetection_tpu")
     p.add_argument("--mode", required=True,
-                   choices=["train", "eval", "test", "export"])
+                   choices=["train", "eval", "test", "export", "serve"])
     p.add_argument("--config", required=True, help="python config file")
     p.add_argument("--source", default=None,
                    help="test mode: image/video path")
     p.add_argument("--out", default=None, help="output path")
     p.add_argument("--no-resume", action="store_true",
                    help="train mode: ignore existing checkpoints")
+    p.add_argument("--host", default="0.0.0.0", help="serve mode: bind host")
+    p.add_argument("--port", type=int, default=8000,
+                   help="serve mode: bind port")
+    p.add_argument("--serve-batch", type=int, default=16,
+                   help="serve mode: static device batch size")
+    p.add_argument("--serve-wait-ms", type=float, default=5.0,
+                   help="serve mode: max wait to fill a batch")
     args = p.parse_args(argv)
 
     from heltondetection_tpu.configs.base import load_config
@@ -50,6 +59,17 @@ def main(argv=None):
         model = build_model(cfg.model, _config_num_classes(cfg))
         variables = _load_eval_variables(cfg, model)
         export_model(cfg, model, variables, args.out or "model.stablehlo")
+    elif args.mode == "serve":
+        from heltondetection_tpu.engine.runner import load_detector
+        from heltondetection_tpu.engine.serve import (BatchingDetector,
+                                                      serve_http)
+        det = load_detector(cfg, tta=False)
+        with BatchingDetector(det, batch_size=args.serve_batch,
+                              max_wait_ms=args.serve_wait_ms) as batcher:
+            print(f"serving {cfg.name} on {args.host}:{args.port} "
+                  f"(batch {args.serve_batch})")
+            serve_http(batcher, host=args.host, port=args.port,
+                       class_names=cfg.data.class_names)
     return 0
 
 

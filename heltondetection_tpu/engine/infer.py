@@ -29,27 +29,41 @@ class Detector:
     """High-level single/batch-image detector wrapping a jitted
     forward+decode+NMS. ``forward_fn(images (B,S,S,3) float, RAW 0-255) →
     (boxes, obj, cls)`` — the same contract as the evaluator: forward_fn
-    owns the /255 normalization so it fuses on device."""
+    owns the /255 normalization so it fuses on device.
 
-    def __init__(self, forward_fn: Callable, num_classes: int, img_size: int,
+    ``detect_fn`` (optional) REPLACES the forward+postprocess composition
+    with a prebuilt ``step(images raw 0-255) → (boxes, scores, classes,
+    valid)`` in letterbox coordinates — e.g. the fused packed-head serve
+    step (evaluator.make_packed_serve_step), which is ~1.5× the generic
+    route's throughput AND compiles in seconds where the decode_full route
+    takes minutes at real sizes (load_detector wires this for YOLOv5; the
+    TTA views dispatch through the same step)."""
+
+    def __init__(self, forward_fn: Optional[Callable], num_classes: int,
+                 img_size: int,
                  *, conf_thres: float = 0.25, iou_thres: float = 0.45,
                  max_det: int = 300, tta: bool = False,
                  tta_scales: Sequence[float] = (1.0, 0.83),
-                 wbf_iou: float = 0.55):
+                 wbf_iou: float = 0.55, detect_fn: Optional[Callable] = None):
         self.num_classes = num_classes
         self.img_size = img_size
         self.tta = tta
         self.tta_scales = tta_scales
-        post = make_postprocess(num_classes, conf_thres=conf_thres,
-                                iou_thres=iou_thres, max_det=max_det,
-                                multi_label=False)
+        if detect_fn is not None:
+            self._detect = jax.jit(detect_fn)
+        else:
+            if forward_fn is None:
+                raise ValueError("need forward_fn or detect_fn")
+            post = make_postprocess(num_classes, conf_thres=conf_thres,
+                                    iou_thres=iou_thres, max_det=max_det,
+                                    multi_label=False)
 
-        @jax.jit
-        def _detect(images):
-            boxes, obj, cls = forward_fn(images)
-            return post(boxes, obj, cls)
+            @jax.jit
+            def _detect(images):
+                boxes, obj, cls = forward_fn(images)
+                return post(boxes, obj, cls)
 
-        self._detect = _detect
+            self._detect = _detect
         n_views = (1 + len(tta_scales)) if tta else 1  # flip + scales
         self._n_views = n_views
 

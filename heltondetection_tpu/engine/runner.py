@@ -794,7 +794,6 @@ def load_detector(config, ckpt: Optional[str] = None, **detector_kwargs):
     """
     import dataclasses as _dc
 
-    from heltondetection_tpu.engine.infer import Detector
     if isinstance(config, str):
         from heltondetection_tpu.configs.base import load_config
         cfg = load_config(config)
@@ -811,10 +810,31 @@ def load_detector(config, ckpt: Optional[str] = None, **detector_kwargs):
         params = v["ema_params"] if v["ema_params"] is not None \
             else v["params"]
         variables = {"params": params, "batch_stats": v["batch_stats"]}
-    fwd = _forward_for_eval(cfg, model, variables)
+    return _make_detector(cfg, model, variables, nc, **detector_kwargs)
+
+
+def _make_detector(cfg, model, variables, nc: int, **overrides):
+    """Shared Detector construction for load_detector / run_test: the
+    config's test-time knobs (overridable), riding the fused packed-head
+    serve step for yolov5 — ~1.5× the decode_full route's throughput, and
+    it compiles in seconds where that route takes minutes at real sizes
+    (the production serving path, BatchingDetector, uses the same
+    program)."""
+    from heltondetection_tpu.engine.infer import Detector
     kw = dict(conf_thres=cfg.test.conf_thres, iou_thres=cfg.test.iou_thres,
               tta=cfg.test.tta, tta_scales=cfg.test.tta_scales)
-    kw.update(detector_kwargs)
+    kw.update(overrides)
+    if cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True) \
+            and "detect_fn" not in kw:
+        from heltondetection_tpu.engine.evaluator import \
+            make_packed_serve_step
+        kw["detect_fn"] = make_packed_serve_step(
+            model, variables, nc, conf_thres=kw["conf_thres"],
+            iou_thres=kw["iou_thres"], max_det=kw.get("max_det", 300),
+            multi_label=False)
+        fwd = None
+    else:
+        fwd = _forward_for_eval(cfg, model, variables)
     return Detector(fwd, nc, cfg.model.img_size, **kw)
 
 
@@ -823,16 +843,11 @@ def run_test(cfg: ExperimentConfig, source: str,
     """--mode test: image or video inference with rendering (+TTA); with
     ``test.save_heatmaps`` also writes the per-FPN-level heatmap and
     objectness-map panels (the reference's demo/1.jpg, demo/2.jpg style)."""
-    from heltondetection_tpu.engine.infer import Detector
     ds_names = cfg.data.class_names
     nc = _config_num_classes(cfg)
     model = build_model(cfg.model, nc)
     variables = _load_eval_variables(cfg, model)
-    fwd = _forward_for_eval(cfg, model, variables)
-    det = Detector(fwd, nc, cfg.model.img_size,
-                   conf_thres=cfg.test.conf_thres,
-                   iou_thres=cfg.test.iou_thres, tta=cfg.test.tta,
-                   tta_scales=cfg.test.tta_scales)
+    det = _make_detector(cfg, model, variables, nc)
     if os.path.isdir(source):   # batch over a directory of images
         from heltondetection_tpu.data.readers import YOLODataset
         files = sorted(f for f in os.listdir(source)

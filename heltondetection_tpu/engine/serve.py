@@ -1,0 +1,263 @@
+"""Serving layer: dynamic request batching onto the static-shape TPU step.
+
+Production framing of the inference stack (SURVEY.md §3.3 is the per-call
+path; this module is the request-level front end the reference leaves to
+its users). TPU programs are compiled once for a STATIC batch shape —
+serving traffic arrives one frame at a time. :class:`BatchingDetector`
+bridges the two the TPU-idiomatic way:
+
+* client threads submit single frames (``submit`` → future, ``detect`` →
+  blocking) and letterbox on THEIR thread, so host preprocessing scales
+  with client concurrency;
+* one dispatcher thread groups requests into fixed ``batch_size`` batches
+  (padding the tail by repetition — one compiled program, no retraces),
+  dispatches asynchronously, and keeps up to ``max_in_flight`` batches in
+  flight — dispatch k+1 before fetching k, the same pipelining the
+  evaluator uses to overlap host work with device compute;
+* results come back per request in source-image coordinates, the same
+  contract as ``Detector.detect_image`` (within the compiled batch size,
+  batch COMPOSITION cannot change a frame's results — the whole
+  model+postprocess is per-image; across different batch sizes XLA
+  programs differ in reduction order by final float bits, as anywhere).
+
+``serve_http`` is a dependency-free (stdlib ``http.server``) front end:
+POST an encoded image to ``/detect``, get JSON detections back;
+``GET /healthz`` reports liveness + batching stats.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from heltondetection_tpu.engine.infer import Detector
+
+
+class BatchingDetector:
+    """Dynamic batcher over a :class:`Detector`'s compiled serve step.
+
+    Args:
+      detector: a non-TTA Detector (TTA multiplies dispatches per frame —
+        wrong trade for throughput serving; raise rather than silently
+        serve at 1/3 speed).
+      batch_size: the static device batch. Bigger amortizes dispatch
+        overhead (b128 is the measured v5e throughput sweet spot for
+        YOLOv5s; use 8-16 when p99 latency matters more than img/s).
+      max_wait_ms: how long the dispatcher waits to fill a batch before
+        sending it partially full (latency bound under light load).
+      max_in_flight: device batches outstanding before the dispatcher
+        blocks on the oldest fetch. 2 = classic double buffering.
+    """
+
+    def __init__(self, detector: Detector, *, batch_size: int = 8,
+                 max_wait_ms: float = 5.0, max_in_flight: int = 2):
+        if detector.tta:
+            raise ValueError(
+                "BatchingDetector serves the single-view path; construct "
+                "the Detector with tta=False (TTA triples device work per "
+                "frame — opt into it per-request via Detector directly)")
+        if batch_size < 1 or max_in_flight < 1:
+            raise ValueError("batch_size and max_in_flight must be >= 1")
+        self._det = detector
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self.max_in_flight = max_in_flight
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stats_lock = threading.Lock()
+        self._worker = threading.Thread(target=self._dispatch_loop,
+                                        name="batching-detector",
+                                        daemon=True)
+        self._worker.start()
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, img_rgb: np.ndarray) -> Future:
+        """Enqueue one RGB frame; the future resolves to
+        ``(boxes_xyxy, scores, classes)`` in source coordinates."""
+        if self._closed:
+            raise RuntimeError("BatchingDetector is closed")
+        from heltondetection_tpu.data.augment import letterbox_np
+        # letterbox on the CALLER's thread: host preprocessing then scales
+        # with client concurrency instead of serializing in the dispatcher
+        lb, _, meta = letterbox_np(img_rgb, np.zeros((0, 4), np.float32),
+                                   self._det.img_size)
+        fut: Future = Future()
+        self._q.put((lb, meta, img_rgb.shape[:2], fut))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        return fut
+
+    def detect(self, img_rgb: np.ndarray, timeout: Optional[float] = None
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Blocking convenience wrapper over :meth:`submit`."""
+        return self.submit(img_rgb).result(timeout)
+
+    def stats(self) -> Dict[str, int]:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain pending requests and stop the dispatcher."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)           # wake + poison
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _collect_batch(self):
+        """Block for the first request, then fill up to batch_size for at
+        most max_wait_s. Returns a list of request tuples, or None on
+        shutdown (after requeueing nothing — pending items drain first)."""
+        import time
+        try:
+            first = self._q.get()
+        except (EOFError, OSError):    # interpreter teardown
+            return None
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)      # keep the poison for the outer loop
+                break
+            items.append(nxt)
+        return items
+
+    def _dispatch_loop(self):
+        import jax
+        import jax.numpy as jnp
+        in_flight = []                 # [(device_out, items)]
+
+        def _resolve(out, items):
+            ob, os_, oc, ov = jax.device_get(out)
+            for i, (_, meta, hw, fut) in enumerate(items):
+                if fut.set_running_or_notify_cancel():
+                    try:
+                        fut.set_result(self._det._to_source(
+                            ob[i], os_[i], oc[i], ov[i], meta, hw))
+                    except Exception as e:   # pragma: no cover
+                        fut.set_exception(e)
+
+        while True:
+            items = self._collect_batch()
+            if items is None:
+                break
+            try:
+                real = len(items)
+                lbs = [it[0] for it in items]
+                lbs += [lbs[-1]] * (self.batch_size - real)   # static shape
+                x = jnp.asarray(np.stack(lbs), jnp.float32)
+                out = self._det._detect(x)    # ASYNC dispatch
+                in_flight.append((out, items))
+                with self._stats_lock:
+                    self._stats["batches"] += 1
+                    self._stats["padded_slots"] += self.batch_size - real
+            except Exception as e:
+                for _, _, _, fut in items:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(e)
+                continue
+            # fetch the OLDEST batch only once max_in_flight are queued —
+            # the device computes batch k while the host letterboxes and
+            # stacks batch k+1
+            while len(in_flight) >= self.max_in_flight \
+                    or (self._q.empty() and in_flight):
+                out, its = in_flight.pop(0)
+                _resolve(out, its)
+        for out, its in in_flight:     # drain on shutdown
+            _resolve(out, its)
+
+
+def make_http_server(batcher: BatchingDetector, *, host: str = "0.0.0.0",
+                     port: int = 8000,
+                     class_names: Optional[Sequence[str]] = None):
+    """Build (without starting) the stdlib HTTP server over a
+    :class:`BatchingDetector`. ``port=0`` binds an ephemeral port
+    (``server_address[1]`` reports it — used by tests).
+
+    POST /detect   body = encoded image (JPEG/PNG/…)
+                   → {"boxes": [[x1,y1,x2,y2]…], "scores": […],
+                      "classes": […], "names": […]?}
+    GET  /healthz  → {"ok": true, …batching stats}
+
+    Thread-per-connection (``ThreadingHTTPServer``): N concurrent clients
+    become N submitters into the batcher, which is exactly what keeps the
+    device batch full.
+    """
+    import cv2
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **batcher.stats()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._json(404, {"error": "unknown path"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                self._json(400, {"error": "could not decode image"})
+                return
+            boxes, scores, classes = batcher.detect(
+                cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            out = {"boxes": boxes.round(2).tolist(),
+                   "scores": scores.round(4).tolist(),
+                   "classes": classes.tolist()}
+            if class_names is not None:
+                out["names"] = [class_names[c] for c in classes]
+            self._json(200, out)
+
+        def log_message(self, *a):     # quiet; the framework logger owns IO
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(batcher: BatchingDetector, *, host: str = "0.0.0.0",
+               port: int = 8000,
+               class_names: Optional[Sequence[str]] = None):
+    """Blocking front end: build the server and run it until interrupted."""
+    srv = make_http_server(batcher, host=host, port=port,
+                           class_names=class_names)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
