@@ -60,14 +60,23 @@ def main(argv=None):
         variables = _load_eval_variables(cfg, model)
         export_model(cfg, model, variables, args.out or "model.stablehlo")
     elif args.mode == "serve":
+        import jax
+
         from heltondetection_tpu.engine.runner import load_detector
         from heltondetection_tpu.engine.serve import (BatchingDetector,
                                                       serve_http)
         det = load_detector(cfg, tta=False)
+        # multi-chip serving: shard each batch over all local devices
+        # (the same pattern eval uses) when the batch divides evenly
+        mesh = None
+        n_dev = len(jax.devices())
+        if jax.process_count() == 1 and n_dev > 1 \
+                and args.serve_batch % n_dev == 0:
+            from heltondetection_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh()
         with BatchingDetector(det, batch_size=args.serve_batch,
-                              max_wait_ms=args.serve_wait_ms) as batcher:
-            print(f"serving {cfg.name} on {args.host}:{args.port} "
-                  f"(batch {args.serve_batch})")
+                              max_wait_ms=args.serve_wait_ms,
+                              mesh=mesh) as batcher:
             serve_http(batcher, host=args.host, port=args.port,
                        class_names=cfg.data.class_names)
     return 0

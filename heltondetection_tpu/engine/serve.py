@@ -52,10 +52,15 @@ class BatchingDetector:
         sending it partially full (latency bound under light load).
       max_in_flight: device batches outstanding before the dispatcher
         blocks on the oldest fetch. 2 = classic double buffering.
+      mesh: optional ``jax.sharding.Mesh`` — each batch is sharded over
+        its 'data' axis so one server feeds every local chip (the same
+        multi-chip pattern the evaluator uses); ``batch_size`` must
+        divide by the mesh's data-axis size.
     """
 
     def __init__(self, detector: Detector, *, batch_size: int = 8,
-                 max_wait_ms: float = 5.0, max_in_flight: int = 2):
+                 max_wait_ms: float = 5.0, max_in_flight: int = 2,
+                 mesh=None):
         if detector.tta:
             raise ValueError(
                 "BatchingDetector serves the single-view path; construct "
@@ -63,6 +68,14 @@ class BatchingDetector:
                 "frame — opt into it per-request via Detector directly)")
         if batch_size < 1 or max_in_flight < 1:
             raise ValueError("batch_size and max_in_flight must be >= 1")
+        self._sharding = None
+        if mesh is not None:
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"data axis ({mesh.shape['data']})")
+            from heltondetection_tpu.parallel.mesh import batch_sharding
+            self._sharding = batch_sharding(mesh)
         self._det = detector
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1e3
@@ -169,8 +182,10 @@ class BatchingDetector:
                 real = len(items)
                 lbs = [it[0] for it in items]
                 lbs += [lbs[-1]] * (self.batch_size - real)   # static shape
-                x = jnp.asarray(np.stack(lbs), jnp.float32)
-                out = self._det._detect(x)    # ASYNC dispatch
+                x = np.stack(lbs).astype(np.float32)
+                if self._sharding is not None:   # multi-chip: shard the
+                    x = jax.device_put(x, self._sharding)   # data axis
+                out = self._det._detect(jnp.asarray(x))    # ASYNC dispatch
                 in_flight.append((out, items))
                 with self._stats_lock:
                     self._stats["batches"] += 1
@@ -255,8 +270,11 @@ def serve_http(batcher: BatchingDetector, *, host: str = "0.0.0.0",
                port: int = 8000,
                class_names: Optional[Sequence[str]] = None):
     """Blocking front end: build the server and run it until interrupted."""
+    from heltondetection_tpu.utils.log import get_logger
     srv = make_http_server(batcher, host=host, port=port,
                            class_names=class_names)
+    get_logger().info("serving on http://%s:%d (batch %d)",
+                      *srv.server_address[:2], batcher.batch_size)
     try:
         srv.serve_forever()
     finally:

@@ -200,3 +200,31 @@ def test_detector_packed_detect_fn_matches_generic(tiny_model):
 def test_detector_requires_some_fn():
     with pytest.raises(ValueError, match="forward_fn or detect_fn"):
         Detector(None, 4, 64)
+
+
+def test_batching_detector_sharded_over_mesh(tiny_detector):
+    """mesh=: every batch shards over the data axis (one server feeds all
+    local chips, the evaluator's multi-chip pattern) with results identical
+    to the unsharded batcher at the same batch size."""
+    from heltondetection_tpu.parallel.mesh import create_mesh
+
+    frames = _frames(8, seed=11)
+    with BatchingDetector(tiny_detector, batch_size=8,
+                          max_wait_ms=50.0) as bd:
+        want = [f.result(timeout=120)
+                for f in [bd.submit(fr) for fr in frames]]
+
+    mesh = create_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    with BatchingDetector(tiny_detector, batch_size=8, max_wait_ms=50.0,
+                          mesh=mesh) as bd:
+        got = [f.result(timeout=120)
+               for f in [bd.submit(fr) for fr in frames]]
+
+    for (b1, s1, c1), (b2, s2, c2) in zip(want, got):
+        np.testing.assert_allclose(b1, b2, atol=1e-4)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(c1, c2)
+
+    with pytest.raises(ValueError, match="divide"):
+        BatchingDetector(tiny_detector, batch_size=6, mesh=mesh)
