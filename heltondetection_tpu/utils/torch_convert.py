@@ -1,4 +1,4 @@
-"""PyTorch → JAX weight conversion — the cross-implementation oracle path.
+"""PyTorch ⇄ JAX weight conversion — the cross-implementation oracle path.
 
 SURVEY.md §4: the reference's strongest integration test is scoring OFFICIAL
 Ultralytics YOLOv5 weights through its own eval stack
@@ -67,6 +67,32 @@ def _sppf(sd: Mapping, tprefix: str) -> Tuple[Dict, Dict]:
     return p, s
 
 
+# (flax name, torch model index, kind, base C3 depth) — ONE table drives
+# both conversion directions so the layouts can never drift apart
+_YOLO_BB_MAP = [
+    ("stem", 0, "conv", None),
+    ("down1", 1, "conv", None),
+    ("c3_1", 2, "c3", 3),
+    ("down2", 3, "conv", None),
+    ("c3_2", 4, "c3", 6),
+    ("down3", 5, "conv", None),
+    ("c3_3", 6, "c3", 9),
+    ("down4", 7, "conv", None),
+    ("c3_4", 8, "c3", 3),
+    ("sppf", 9, "sppf", None),
+]
+_YOLO_NECK_MAP = [
+    ("lat5", 10, "conv", None),
+    ("td4", 13, "c3", 3),
+    ("lat4", 14, "conv", None),
+    ("td3", 17, "c3", 3),
+    ("bu3", 18, "conv", None),
+    ("bu4", 20, "c3", 3),
+    ("bu5", 21, "conv", None),
+    ("bu6", 23, "c3", 3),
+]
+
+
 def convert_yolov5(state_dict: Mapping, depth_multiple: float = 0.33
                    ) -> Tuple[Dict, Dict]:
     """Ultralytics v6.1 state_dict → (params, batch_stats) for our YOLOv5.
@@ -80,43 +106,15 @@ def convert_yolov5(state_dict: Mapping, depth_multiple: float = 0.33
     P: Dict = {"backbone": {}, "neck": {}}
     S: Dict = {"backbone": {}, "neck": {}}
 
-    bb_map = [
-        ("stem", 0, "conv", None),
-        ("down1", 1, "conv", None),
-        ("c3_1", 2, "c3", d(3)),
-        ("down2", 3, "conv", None),
-        ("c3_2", 4, "c3", d(6)),
-        ("down3", 5, "conv", None),
-        ("c3_3", 6, "c3", d(9)),
-        ("down4", 7, "conv", None),
-        ("c3_4", 8, "c3", d(3)),
-        ("sppf", 9, "sppf", None),
-    ]
-    for name, idx, kind, n in bb_map:
-        t = f"model.{idx}"
-        if kind == "conv":
-            P["backbone"][name], S["backbone"][name] = _convbn(sd, t)
-        elif kind == "c3":
-            P["backbone"][name], S["backbone"][name] = _c3(sd, t, n)
-        else:
-            P["backbone"][name], S["backbone"][name] = _sppf(sd, t)
-
-    neck_map = [
-        ("lat5", 10, "conv", None),
-        ("td4", 13, "c3", d(3)),
-        ("lat4", 14, "conv", None),
-        ("td3", 17, "c3", d(3)),
-        ("bu3", 18, "conv", None),
-        ("bu4", 20, "c3", d(3)),
-        ("bu5", 21, "conv", None),
-        ("bu6", 23, "c3", d(3)),
-    ]
-    for name, idx, kind, n in neck_map:
-        t = f"model.{idx}"
-        if kind == "conv":
-            P["neck"][name], S["neck"][name] = _convbn(sd, t)
-        else:
-            P["neck"][name], S["neck"][name] = _c3(sd, t, n)
+    for sub, table in (("backbone", _YOLO_BB_MAP), ("neck", _YOLO_NECK_MAP)):
+        for name, idx, kind, n in table:
+            t = f"model.{idx}"
+            if kind == "conv":
+                P[sub][name], S[sub][name] = _convbn(sd, t)
+            elif kind == "c3":
+                P[sub][name], S[sub][name] = _c3(sd, t, d(n))
+            else:
+                P[sub][name], S[sub][name] = _sppf(sd, t)
 
     for i in range(3):
         P[f"detect{i}"] = {
@@ -124,6 +122,104 @@ def convert_yolov5(state_dict: Mapping, depth_multiple: float = 0.33
             "bias": np.asarray(sd[f"model.24.m.{i}.bias"]),
         }
     return P, S
+
+
+def _inv_conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))   # HWIO → OIHW
+
+
+def _export_convbn(out: Dict, tprefix: str, p: Mapping, s: Mapping) -> None:
+    out[f"{tprefix}.conv.weight"] = _inv_conv(p["conv"]["kernel"])
+    out[f"{tprefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+    out[f"{tprefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+    out[f"{tprefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+    out[f"{tprefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+    out[f"{tprefix}.bn.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _export_c3(out: Dict, tprefix: str, p: Mapping, s: Mapping) -> None:
+    for name in ("cv1", "cv2", "cv3"):
+        _export_convbn(out, f"{tprefix}.{name}", p[name], s[name])
+    i = 0
+    while f"m{i}" in p:
+        for name in ("cv1", "cv2"):
+            _export_convbn(out, f"{tprefix}.m.{i}.{name}",
+                           p[f"m{i}"][name], s[f"m{i}"][name])
+        i += 1
+
+
+def export_yolov5_state_dict(params: Mapping, batch_stats: Mapping
+                             ) -> Dict[str, np.ndarray]:
+    """Our YOLOv5 pytrees → an Ultralytics-v6.1-layout ``state_dict``
+    (numpy leaves) — the INVERSE of :func:`convert_yolov5`, sharing its
+    layout tables. Lets a model trained here load into any
+    v6.1-compatible torch stack (comparison, deployment on GPU serving
+    stacks, the reference's own eval scripts);
+    ``convert_yolov5(export_yolov5_state_dict(P, S))`` round-trips
+    bit-exactly (pinned in tests/test_torch_convert.py)."""
+    out: Dict[str, np.ndarray] = {}
+    for sub, table in (("backbone", _YOLO_BB_MAP), ("neck", _YOLO_NECK_MAP)):
+        tree_p, tree_s = params[sub], batch_stats[sub]
+        for name, idx, kind, _ in table:
+            t = f"model.{idx}"
+            if kind == "conv":
+                _export_convbn(out, t, tree_p[name], tree_s[name])
+            elif kind == "c3":
+                _export_c3(out, t, tree_p[name], tree_s[name])
+            else:                          # sppf
+                for cv in ("cv1", "cv2"):
+                    _export_convbn(out, f"{t}.{cv}", tree_p[name][cv],
+                                   tree_s[name][cv])
+    for i in range(3):
+        out[f"model.24.m.{i}.weight"] = _inv_conv(
+            params[f"detect{i}"]["kernel"])
+        out[f"model.24.m.{i}.bias"] = np.asarray(
+            params[f"detect{i}"]["bias"])
+    return out
+
+
+def export_resnet_state_dict(params: Mapping, batch_stats: Mapping
+                             ) -> Dict[str, np.ndarray]:
+    """Our ``models.resnet.ResNet`` pytrees → a torchvision-v1-layout
+    ``state_dict`` (numpy leaves; no ``fc.*``) — the INVERSE of
+    :func:`convert_resnet`. ``convert_resnet`` of the result round-trips
+    bit-exactly."""
+    out: Dict[str, np.ndarray] = {}
+
+    def bn(prefix: str, p: Mapping, s: Mapping) -> None:
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+        out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+        out[f"{prefix}.running_var"] = np.asarray(s["var"])
+        out[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    out["conv1.weight"] = _inv_conv(params["stem_conv"]["kernel"])
+    bn("bn1", params["stem_bn"], batch_stats["stem_bn"])
+    for block in sorted(k for k in params if k.startswith("layer")):
+        layer, i = block.split("_")        # layer1_0 → layer1.0
+        t = f"{layer}.{i}"
+        for mod, sub_p in params[block].items():
+            if mod == "ds_conv":
+                out[f"{t}.downsample.0.weight"] = _inv_conv(sub_p["kernel"])
+            elif mod == "ds_bn":
+                bn(f"{t}.downsample.1", sub_p, batch_stats[block][mod])
+            elif mod.startswith("conv"):
+                out[f"{t}.{mod}.weight"] = _inv_conv(sub_p["kernel"])
+            elif mod.startswith("bn"):
+                bn(f"{t}.{mod}", sub_p, batch_stats[block][mod])
+            else:
+                raise KeyError(f"unrecognized ResNet param module {mod} "
+                               f"in {block}")
+    return out
+
+
+def save_torch_state_dict(path: str, state_dict: Mapping) -> None:
+    """Write a numpy-leaf state_dict as a torch .pth (tensor leaves) —
+    loadable by ``torch.load(path, weights_only=True)``. Requires torch."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state_dict.items()}, path)
 
 
 def convert_resnet(state_dict: Mapping) -> Tuple[Dict, Dict]:

@@ -160,3 +160,96 @@ def test_stem_6x6_pad2_matches_torch():
                   jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: JAX → torch state_dict (export_*_state_dict)
+# ---------------------------------------------------------------------------
+
+def test_export_yolov5_round_trips_bit_exact():
+    """export_yolov5_state_dict is the exact inverse of convert_yolov5:
+    every original key comes back bit-identical, and the only keys the
+    export ADDS are the num_batches_tracked completions torch wants."""
+    from heltondetection_tpu.utils.torch_convert import \
+        export_yolov5_state_dict
+    sd = _make_ultralytics_sd("s", nc=80, seed=11)
+    P, S = convert_yolov5(sd, depth_multiple=0.33)
+    out = export_yolov5_state_dict(P, S)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(out[k], v.numpy(), err_msg=k)
+    extra = set(out) - set(sd)
+    assert all(k.endswith("num_batches_tracked") for k in extra), extra
+
+
+def test_export_fresh_flax_yolov5_runs_in_torch():
+    """A from-scratch flax model exports into a state_dict the independent
+    torch implementation loads STRICTLY and reproduces forward — the
+    trained-here → deploy-on-torch migration path."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from torch_refs import TorchYOLOv5, load_ultralytics_state_dict
+    from heltondetection_tpu.utils.torch_convert import \
+        export_yolov5_state_dict
+
+    nc = 7
+    model = build_yolov5("n", nc)
+    variables = model.init(jax.random.PRNGKey(4),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_yolov5_state_dict(
+              variables["params"], variables["batch_stats"]).items()}
+    net = TorchYOLOv5(nc=nc, depth_multiple=0.33, width_multiple=0.25)
+    load_ultralytics_state_dict(net, sd)
+    net.eval()
+
+    x = np.random.default_rng(5).uniform(0, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = model.apply(variables, jnp.asarray(x), train=False)
+    for lvl, (o, r) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(np.asarray(o),
+                                   r.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"level {lvl}")
+
+
+def test_export_resnet_round_trips_bit_exact():
+    from torch_refs import make_resnet_sd
+    from heltondetection_tpu.utils.torch_convert import (
+        convert_resnet, export_resnet_state_dict)
+    sd = {k: v.numpy() for k, v in
+          make_resnet_sd((2, 2, 2, 2), "basic", seed=3).items()}
+    P, S = convert_resnet(sd)
+    out = export_resnet_state_dict(P, S)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(out[k], v, err_msg=k)
+    extra = set(out) - set(sd)
+    assert all(k.endswith("num_batches_tracked") for k in extra), extra
+
+
+def test_export_fresh_flax_resnet_tree_complete(tmp_path):
+    """Export of a from-scratch flax ResNet covers the whole param tree
+    (convert∘export == identity on flax trees), and save_torch_state_dict
+    writes a weights_only-loadable .pth of it."""
+    from heltondetection_tpu.models.resnet import ResNet
+    from heltondetection_tpu.utils.torch_convert import (
+        convert_resnet, export_resnet_state_dict, save_torch_state_dict)
+
+    model = ResNet(stage_sizes=(2, 2, 2, 2), block="basic")
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    sd = export_resnet_state_dict(v["params"], v["batch_stats"])
+    P, S = convert_resnet(sd)
+    for tree, back in ((v["params"], P), (v["batch_stats"], S)):
+        flat_a = jax.tree_util.tree_leaves_with_path(tree)
+        flat_b = jax.tree_util.tree_leaves_with_path(back)
+        assert len(flat_a) == len(flat_b)
+        for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), lb, err_msg=str(pa))
+
+    path = str(tmp_path / "resnet18.pth")
+    save_torch_state_dict(path, sd)
+    loaded = torch.load(path, weights_only=True)
+    assert set(loaded) == set(sd)
