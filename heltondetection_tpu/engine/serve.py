@@ -82,6 +82,10 @@ class BatchingDetector:
         self.max_in_flight = max_in_flight
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # orders every submit against close()'s poison put: without it a
+        # submitter that passed the _closed check could be descheduled and
+        # enqueue AFTER the poison, leaving its future unresolved forever
+        self._submit_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._dispatch_loop,
@@ -94,15 +98,16 @@ class BatchingDetector:
     def submit(self, img_rgb: np.ndarray) -> Future:
         """Enqueue one RGB frame; the future resolves to
         ``(boxes_xyxy, scores, classes)`` in source coordinates."""
-        if self._closed:
-            raise RuntimeError("BatchingDetector is closed")
         from heltondetection_tpu.data.augment import letterbox_np
         # letterbox on the CALLER's thread: host preprocessing then scales
         # with client concurrency instead of serializing in the dispatcher
         lb, _, meta = letterbox_np(img_rgb, np.zeros((0, 4), np.float32),
                                    self._det.img_size)
         fut: Future = Future()
-        self._q.put((lb, meta, img_rgb.shape[:2], fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingDetector is closed")
+            self._q.put((lb, meta, img_rgb.shape[:2], fut))
         with self._stats_lock:
             self._stats["requests"] += 1
         return fut
@@ -116,13 +121,38 @@ class BatchingDetector:
         with self._stats_lock:
             return dict(self._stats)
 
-    def close(self, timeout: float = 30.0) -> None:
-        """Drain pending requests and stop the dispatcher."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)           # wake + poison
+    def reset_stats(self) -> None:
+        """Zero the batching counters (e.g. after warmup, so fill/padding
+        percentages reflect only the measured window)."""
+        with self._stats_lock:
+            for k in self._stats:
+                self._stats[k] = 0
+
+    def close(self, timeout: float = 30.0) -> bool:
+        """Drain pending requests and stop the dispatcher. Returns True if
+        the drain completed within ``timeout``; on False the (daemon)
+        dispatcher is still draining — callers keeping the process alive
+        will still see their futures resolve, but exiting now abandons
+        them."""
+        with self._submit_lock:
+            if self._closed:
+                already = True
+            else:
+                already = False
+                self._closed = True
+                self._q.put(None)   # wake + poison (ordered after all submits)
+        if already:
+            self._worker.join(timeout)
+            return not self._worker.is_alive()
         self._worker.join(timeout)
+        if self._worker.is_alive():
+            from heltondetection_tpu.utils.log import get_logger
+            get_logger().warning(
+                "BatchingDetector.close: drain still running after %.0fs "
+                "(pending requests only resolve while the process lives)",
+                timeout)
+            return False
+        return True
 
     def __enter__(self):
         return self
@@ -165,7 +195,17 @@ class BatchingDetector:
         in_flight = []                 # [(device_out, items)]
 
         def _resolve(out, items):
-            ob, os_, oc, ov = jax.device_get(out)
+            # JAX dispatch is async — device-side failures (runtime error,
+            # OOM, transfer fault) surface HERE at the fetch, not at the
+            # dispatch. A raise must fail this batch's futures, never kill
+            # the dispatcher thread (that would wedge every later request).
+            try:
+                ob, os_, oc, ov = jax.device_get(out)
+            except Exception as e:
+                for _, _, _, fut in items:
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(e)
+                return
             for i, (_, meta, hw, fut) in enumerate(items):
                 if fut.set_running_or_notify_cancel():
                     try:
@@ -194,7 +234,8 @@ class BatchingDetector:
                 for _, _, _, fut in items:
                     if fut.set_running_or_notify_cancel():
                         fut.set_exception(e)
-                continue
+                # fall through to the drain loop: earlier batches already
+                # in flight must still resolve even if no traffic follows
             # fetch the OLDEST batch only once max_in_flight are queued —
             # the device computes batch k while the host letterboxes and
             # stacks batch k+1
@@ -208,7 +249,8 @@ class BatchingDetector:
 
 def make_http_server(batcher: BatchingDetector, *, host: str = "0.0.0.0",
                      port: int = 8000,
-                     class_names: Optional[Sequence[str]] = None):
+                     class_names: Optional[Sequence[str]] = None,
+                     request_timeout: float = 120.0):
     """Build (without starting) the stdlib HTTP server over a
     :class:`BatchingDetector`. ``port=0`` binds an ephemeral port
     (``server_address[1]`` reports it — used by tests).
@@ -251,8 +293,20 @@ def make_http_server(batcher: BatchingDetector, *, host: str = "0.0.0.0",
             if img is None:
                 self._json(400, {"error": "could not decode image"})
                 return
-            boxes, scores, classes = batcher.detect(
-                cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            # bounded wait + JSON error responses: a wedged/failed batch
+            # must not pin this handler thread forever or drop the
+            # connection without a body
+            try:
+                boxes, scores, classes = batcher.detect(
+                    cv2.cvtColor(img, cv2.COLOR_BGR2RGB),
+                    timeout=request_timeout)
+            except TimeoutError:
+                self._json(503, {"error": f"detection timed out after "
+                                          f"{request_timeout:g}s"})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             out = {"boxes": boxes.round(2).tolist(),
                    "scores": scores.round(4).tolist(),
                    "classes": classes.tolist()}
@@ -277,5 +331,9 @@ def serve_http(batcher: BatchingDetector, *, host: str = "0.0.0.0",
                       *srv.server_address[:2], batcher.batch_size)
     try:
         srv.serve_forever()
+    except KeyboardInterrupt:
+        # Ctrl-C is the documented way to stop `--mode serve` — shut down
+        # cleanly instead of letting the interrupt traceback out of main
+        get_logger().info("interrupt received, shutting down")
     finally:
         srv.server_close()

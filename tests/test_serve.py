@@ -202,6 +202,128 @@ def test_detector_requires_some_fn():
         Detector(None, 4, 64)
 
 
+class _FakeDet:
+    """Minimal Detector stand-in exposing exactly the surface
+    BatchingDetector touches (.tta/.img_size/._detect/._to_source), with a
+    gate to hold the dispatcher mid-batch and scripted failures."""
+    tta = False
+    img_size = 64
+
+    def __init__(self):
+        self.calls = 0
+        self.fail_on = set()       # 1-based _detect call numbers that raise
+        self.poison_on = set()     # call numbers returning a fetch-poison
+        self.gate = threading.Event()
+        self.gate.set()
+
+    def _detect(self, x):
+        self.gate.wait()
+        self.calls += 1
+        if self.calls in self.fail_on:
+            raise RuntimeError("dispatch boom")
+        n = int(x.shape[0])
+        if self.calls in self.poison_on:
+            return _FetchPoison(n)
+        return (np.zeros((n, 5, 4), np.float32), np.zeros((n, 5), np.float32),
+                np.zeros((n, 5), np.int32), np.ones((n, 5), bool))
+
+    def _to_source(self, b, s, c, v, meta, hw):
+        return b[v], s[v], c[v]
+
+
+class _FetchPoison:
+    """Sentinel batch output that the patched jax.device_get rejects —
+    simulates an async device failure surfacing at the fetch."""
+    def __init__(self, n):
+        self.n = n
+
+
+def test_dispatch_failure_still_drains_in_flight():
+    """A failed dispatch must fail ONLY its own futures; batches already in
+    flight must resolve even with no further traffic (the old `continue`
+    skipped the drain loop)."""
+    det = _FakeDet()
+    det.gate.clear()               # hold the dispatcher before _detect
+    frame = _frames(1, seed=13)[0]
+    bd = BatchingDetector(det, batch_size=1, max_wait_ms=1.0,
+                          max_in_flight=2)
+    try:
+        fa = bd.submit(frame)      # call 1: dispatch ok, stays in flight
+        fb = bd.submit(frame)      # call 2: dispatch raises
+        det.fail_on = {2}
+        det.gate.set()
+        with pytest.raises(RuntimeError, match="dispatch boom"):
+            fb.result(timeout=30)
+        b, s, c = fa.result(timeout=30)   # in-flight batch still resolves
+        assert b.shape == (5, 4)
+        fc = bd.submit(frame)      # dispatcher alive for later requests
+        assert fc.result(timeout=30)[0].shape == (5, 4)
+    finally:
+        assert bd.close() is True  # drain completed within the timeout
+
+
+def test_fetch_failure_fails_batch_not_dispatcher(monkeypatch):
+    """JAX surfaces most device errors at device_get, not at dispatch: the
+    fetch raising must set the exception on that batch's futures and leave
+    the dispatcher serving."""
+    import jax as _jax
+    real_get = _jax.device_get
+
+    def fake_get(x):
+        if isinstance(x, _FetchPoison):
+            raise RuntimeError("device fell over at fetch")
+        return real_get(x)
+
+    monkeypatch.setattr(_jax, "device_get", fake_get)
+    det = _FakeDet()
+    det.poison_on = {1}
+    frame = _frames(1, seed=17)[0]
+    with BatchingDetector(det, batch_size=1, max_wait_ms=1.0) as bd:
+        with pytest.raises(RuntimeError, match="fell over at fetch"):
+            bd.detect(frame, timeout=30)
+        b, s, c = bd.detect(frame, timeout=30)   # dispatcher survived
+        assert b.shape == (5, 4)
+
+
+def test_http_batcher_error_returns_500():
+    """Batcher exceptions must come back as a JSON 500, not a dropped
+    connection or a permanently pinned handler thread."""
+    cv2 = pytest.importorskip("cv2")
+    det = _FakeDet()
+    det.fail_on = {1}
+    with BatchingDetector(det, batch_size=1, max_wait_ms=1.0) as bd:
+        srv = make_http_server(bd, host="127.0.0.1", port=0,
+                               request_timeout=30.0)
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        try:
+            ok, buf = cv2.imencode(".png", _frames(1, seed=19)[0])
+            assert ok
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=buf.tobytes(),
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 500
+            assert "dispatch boom" in json.loads(ei.value.read())["error"]
+            with urllib.request.urlopen(req, timeout=30) as r:  # still up
+                assert len(json.loads(r.read())["boxes"]) == 5
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            th.join(timeout=10)
+
+
+def test_reset_stats(tiny_detector):
+    with BatchingDetector(tiny_detector, batch_size=2,
+                          max_wait_ms=5.0) as bd:
+        bd.detect(_frames(1, seed=23)[0], timeout=120)
+        assert bd.stats()["requests"] == 1
+        bd.reset_stats()
+        assert bd.stats() == {"requests": 0, "batches": 0, "padded_slots": 0}
+
+
 def test_batching_detector_sharded_over_mesh(tiny_detector):
     """mesh=: every batch shards over the data axis (one server feeds all
     local chips, the evaluator's multi-chip pattern) with results identical

@@ -52,10 +52,12 @@ def main():
 
     with BatchingDetector(det, batch_size=batch, max_wait_ms=5.0,
                           max_in_flight=2) as bd:
-        # warm: compile + caches
-        for f in frames[:batch]:
-            bd.submit(f)
+        # warm: compile + caches (a full device batch even when
+        # batch > len(frames))
+        for i in range(batch):
+            bd.submit(frames[i % len(frames)])
         bd.detect(frames[0])
+        bd.reset_stats()   # fill/padding %s reflect the measured window only
 
         lat = []
         lat_lock = threading.Lock()
