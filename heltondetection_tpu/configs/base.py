@@ -36,6 +36,10 @@ class ModelConfig:
     num_classes: int = 80
     img_size: int = 640
     dtype: str = "float32"            # float32 | bfloat16 (compute dtype)
+    anchors: Optional[Tuple] = None   # yolov5: per-level ((w,h)×3)×3 in
+    # input pixels; None = the v6.1 COCO set (ops/anchors.YOLOV5_ANCHORS).
+    # Fit dataset-specific ones with tools/autoanchor.py or
+    # train.autoanchor=True (data/autoanchor.py)
     # faster_rcnn options (README.md:65,73-76 ablations)
     neck: str = "fpn"                 # fpn | pafpn_v8
     head: str = "coupled"             # coupled | decoupled
@@ -96,6 +100,10 @@ class TrainConfig:
     # YOLO, 64 FasterRCNN P6) so every pyramid level splits evenly
     focal: str = "none"               # none | root | root_cls (README.md:117)
     label_smoothing: float = 0.0
+    autoanchor: bool = False  # yolov5: at train start measure best-possible
+    # -recall of model.anchors against the dataset labels and re-fit them
+    # (k-means + genetic evolution, data/autoanchor.py) when BPR < 0.98 —
+    # the v6.1-lineage anchor check. Deterministic under `seed`
     seed: int = 0
     num_workers: int = 8
     eval_interval: int = 10           # epochs between val evals

@@ -93,7 +93,8 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
                            pre_nms_topk: int = 1024,
                            max_det: Optional[int] = None,
                            approx: bool = False, multi_label: bool = True,
-                           normalize: bool = True) -> Callable:
+                           normalize: bool = True,
+                           anchors=None) -> Callable:
     """Build the fused packed-head serve step for a YOLOv5 model.
 
     ``model`` is a standard (unpacked) YOLOv5; its variables are mapped to
@@ -112,7 +113,7 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
                                 iou_thres=iou_thres,
                                 pre_nms_topk=pre_nms_topk, max_det=max_det,
                                 approx=approx, multi_label=multi_label,
-                                normalize=normalize)
+                                normalize=normalize, anchors=anchors)
 
     def step(images):
         return apply_fn(vp, images)
@@ -122,18 +123,20 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
 
 def _packed_apply_fn(model_p, num_classes: int, *, conf_thres, iou_thres,
                      pre_nms_topk, max_det, approx, multi_label,
-                     normalize) -> Callable:
+                     normalize, anchors=None) -> Callable:
     """The packed serve computation with the PACKED variables as an
     argument: ``apply_fn(vp, images) -> dets``. Jitting THIS (once) and
     partial-binding fresh variables per eval keeps XLA's compile cache hot
     across in-loop evals — the closure form above re-traces per build."""
     from heltondetection_tpu.ops.postprocess import make_fused_postprocess
 
+    kw = {} if anchors is None else {"anchors": anchors}
     post = make_fused_postprocess(num_classes, conf_thres=conf_thres,
                                   iou_thres=iou_thres,
                                   pre_nms_topk=pre_nms_topk,
                                   max_det=max_det, approx=approx,
-                                  max_cls_per_box=4 if multi_label else 1)
+                                  max_cls_per_box=4 if multi_label else 1,
+                                  **kw)
 
     def apply_fn(vp, images):
         if normalize:

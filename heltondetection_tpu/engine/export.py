@@ -34,7 +34,7 @@ def load_serving_fn(path: str) -> Callable:
 def export_yolov5(model, variables, num_classes: int, img_size: int,
                   path: str, *, batch_size: int = 1,
                   conf_thres: float = 0.25, iou_thres: float = 0.45,
-                  max_det: int = 300) -> None:
+                  max_det: int = 300, anchors=None) -> None:
     """One-stop YOLOv5 serving-graph export: uint8 image batch in →
     (boxes, scores, classes, valid) out, weights baked as constants
     (mirrors the reference's ONNX graph which also embeds weights)."""
@@ -48,7 +48,11 @@ def export_yolov5(model, variables, num_classes: int, img_size: int,
     def serve(images_u8):
         images = images_u8.astype(jnp.float32) / 255.0
         outs = model.apply(variables, images, train=False)
-        boxes, obj, cls = decode_full(outs, num_classes)
+        if anchors is not None:
+            boxes, obj, cls = decode_full(outs, num_classes,
+                                          anchors=anchors)
+        else:
+            boxes, obj, cls = decode_full(outs, num_classes)
         return post(boxes, obj, cls)
 
     x = jnp.zeros((batch_size, img_size, img_size, 3), jnp.uint8)
@@ -75,10 +79,12 @@ def export_faster_rcnn(model, variables, img_size: int, path: str, *,
 def export_model(cfg, model, variables, path: str) -> None:
     """Family dispatch for the CLI ``--mode export``."""
     if cfg.model.family == "yolov5":
+        from heltondetection_tpu.engine.runner import _cfg_anchors
         export_yolov5(model, variables, cfg.model.num_classes,
                       cfg.model.img_size, path,
                       conf_thres=cfg.test.conf_thres,
-                      iou_thres=cfg.test.iou_thres)
+                      iou_thres=cfg.test.iou_thres,
+                      anchors=_cfg_anchors(cfg))
     elif cfg.model.family == "faster_rcnn":
         export_faster_rcnn(model, variables, cfg.model.img_size, path)
     else:

@@ -108,6 +108,17 @@ def _frozen_prefixes(mc) -> tuple:
     return ()
 
 
+def _cfg_anchors(cfg: ExperimentConfig):
+    """cfg.model.anchors → canonical nested tuples (or None for the v6.1
+    default set) — every YOLO decode/loss/serve build site goes through
+    this so a config's custom anchors (tools/autoanchor.py output) apply
+    uniformly."""
+    if getattr(cfg.model, "anchors", None) is None:
+        return None
+    from heltondetection_tpu.ops.anchors import normalize_anchors
+    return normalize_anchors(cfg.model.anchors)
+
+
 def _forward_for_eval(cfg: ExperimentConfig, model, variables):
     """raw uint8 images → (boxes, obj, cls) unified eval contract (the
     /255 normalization is fused on device, BASELINE.json N7).
@@ -118,10 +129,13 @@ def _forward_for_eval(cfg: ExperimentConfig, model, variables):
     sources here decodes a trained head at the wrong channel count."""
     if cfg.model.family == "yolov5":
         from heltondetection_tpu.models.yolov5 import decode_full
+        anchors = _cfg_anchors(cfg)
 
         def fwd(images):
             images = images.astype(jnp.float32) / 255.0
             outs = model.apply(variables, images, train=False)
+            if anchors is not None:
+                return decode_full(outs, model.num_classes, anchors=anchors)
             return decode_full(outs, model.num_classes)
         return fwd
 
@@ -218,7 +232,8 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                     iou_thres=cfg.eval.iou_thres, pre_nms_topk=1024,
                     max_det=cfg.eval.max_det,
                     approx=getattr(cfg.eval, "approx", False),
-                    multi_label=multi_label, normalize=True))
+                    multi_label=multi_label, normalize=True,
+                    anchors=_cfg_anchors(cfg)))
             else:
                 from heltondetection_tpu.engine.evaluator import \
                     make_postprocess
@@ -259,7 +274,8 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                                       max_det=cfg.eval.max_det,
                                       approx=getattr(cfg.eval, "approx",
                                                      False),
-                                      multi_label=multi_label)
+                                      multi_label=multi_label,
+                                      anchors=_cfg_anchors(cfg))
         ev = Evaluator(None, nc, step_fn=step, mesh=mesh)
     else:
         fwd = _forward_for_eval(cfg, model, variables)
@@ -385,6 +401,27 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
     cfg.model.num_classes = nc
     model = build_model(cfg.model, nc)
 
+    if cfg.train.autoanchor and cfg.model.family == "yolov5":
+        # v6.1-lineage anchor check (data/autoanchor.py): measure best-
+        # possible-recall of the configured anchors against the labels; re-
+        # fit when BPR < 0.98. Deterministic under seed, so every process
+        # computes identical anchors — no broadcast needed multi-host.
+        from heltondetection_tpu.data.autoanchor import check_anchors
+        new, st = check_anchors(ds, img_size=cfg.model.img_size,
+                                anchors=_cfg_anchors(cfg),
+                                seed=cfg.train.seed)
+        if new is not None:
+            logger.info(
+                "autoanchor: BPR %.4f < 0.98 — re-fit anchors (BPR %.4f, "
+                "fitness %.4f→%.4f over %d boxes): %s", st["prev_bpr"],
+                st["bpr"], st["prev_fitness"], st["fitness"], st["n_boxes"],
+                new)
+            cfg.model.anchors = new     # every decode/loss/serve build
+            # site reads through _cfg_anchors(cfg)
+        else:
+            logger.info("autoanchor: anchors fit the data (BPR %.4f over "
+                        "%d boxes), keeping them", st["bpr"], st["n_boxes"])
+
     device_aug = cfg.train.device_aug and cfg.model.family == "yolov5"
     if device_aug:
         pipe = None
@@ -468,7 +505,8 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
         loss_cfg = YoloLossConfig(num_classes=nc,
                                   img_size=cfg.model.img_size,
                                   focal=cfg.train.focal,
-                                  label_smoothing=cfg.train.label_smoothing)
+                                  label_smoothing=cfg.train.label_smoothing,
+                                  anchors=_cfg_anchors(cfg))
         # packed train head: identical params + math (pinned by
         # tests/test_yolo_loss.py parity test), loss-friendly layout;
         # `model` itself stays standard for the periodic-eval path
@@ -831,7 +869,7 @@ def _make_detector(cfg, model, variables, nc: int, **overrides):
         kw["detect_fn"] = make_packed_serve_step(
             model, variables, nc, conf_thres=kw["conf_thres"],
             iou_thres=kw["iou_thres"], max_det=kw.get("max_det", 300),
-            multi_label=False)
+            multi_label=False, anchors=_cfg_anchors(cfg))
         fwd = None
     else:
         fwd = _forward_for_eval(cfg, model, variables)

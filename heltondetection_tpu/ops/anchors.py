@@ -24,6 +24,18 @@ YOLOV5_ANCHORS = (
 YOLOV5_STRIDES = (8, 16, 32)
 
 
+def normalize_anchors(anchors) -> Tuple[Tuple[Tuple[float, float], ...], ...]:
+    """Config/user anchors (lists, np arrays, tuples) → the canonical
+    nested-tuple form. Hashability matters: the fused decode's constant
+    tables are lru_cached on the anchor values (ops/postprocess.py)."""
+    out = tuple(tuple((float(w), float(h)) for w, h in level)
+                for level in anchors)
+    for level in out:
+        if len(level) != len(out[0]):
+            raise ValueError(f"ragged anchors per level: {out}")
+    return out
+
+
 def yolo_grid(h: int, w: int) -> jnp.ndarray:
     """(h, w, 2) grid of cell indices (x, y) — the per-cell offsets added to
     the sigmoid-decoded xy (SURVEY.md §3.4 decode)."""

@@ -307,7 +307,9 @@ def make_fused_postprocess(num_classes: int, *, conf_thres: float = 0.001,
                            max_det: int | None = 300,
                            max_cls_per_box: int = 4,
                            approx: bool = False, class_aware: bool = True,
-                           use_pallas: bool | None = None):
+                           use_pallas: bool | None = None,
+                           anchors=YOLOV5_ANCHORS,
+                           strides=YOLOV5_STRIDES):
     """Build the jittable fused batch postprocess over RAW head outputs:
     (per-level (B,H,W,A*(5+C)) tensors) → dets (B, max_det, …).
 
@@ -327,7 +329,8 @@ def make_fused_postprocess(num_classes: int, *, conf_thres: float = 0.001,
         select = fused_select_decode_packed if packed else fused_select_decode
         cb, cs, cc = select(
             raw, num_classes, topk=pre_nms_topk, conf_thres=conf_thres,
-            max_cls_per_box=max_cls_per_box, approx=approx)
+            max_cls_per_box=max_cls_per_box, approx=approx,
+            anchors=anchors, strides=strides)
         return nms_sorted_candidates(cb, cs, cc, iou_thres=iou_thres,
                                      max_det=max_det, class_aware=class_aware,
                                      use_pallas=use_pallas)

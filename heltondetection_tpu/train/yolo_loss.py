@@ -26,7 +26,7 @@ cls 0.5 scaled by nc/80 and (img/640)².
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,8 @@ class YoloLossConfig(NamedTuple):
     focal: str = "none"          # none | root (obj+cls) | root_cls (cls only)
     fl_gamma: float = 1.5
     fl_alpha: float = 0.25
+    anchors: Optional[Tuple] = None   # per-level ((w,h)×A)×L pixel anchors;
+    # None = YOLOV5_ANCHORS (set from cfg.model.anchors / autoanchor)
 
 
 def _bce_logits(logits, targets, pos_weight=1.0):
@@ -135,6 +137,8 @@ def yolo_loss(raw_outputs: Sequence[jnp.ndarray], gt_cxcywh: jnp.ndarray,
     Loss is scaled by batch size like Ultralytics (loss.sum() * bs upstream
     semantics: per-element means, then total * batch_size).
     """
+    if cfg.anchors is not None:
+        anchors = cfg.anchors
     nc = cfg.num_classes
     nl = len(raw_outputs)
     b = raw_outputs[0].shape[0]
@@ -226,6 +230,8 @@ def yolo_loss_packed(packed_outputs, gt_cxcywh: jnp.ndarray,
     scatter still runs on lane-aligned flat rows, avoiding the whole-map
     (B,H,W,A,5+C) relayout the standard layout forces on TPU.
     """
+    if cfg.anchors is not None:
+        anchors = cfg.anchors
     nc = cfg.num_classes
     nl = len(packed_outputs)
     b = packed_outputs[0][0].shape[0]

@@ -353,15 +353,30 @@ def graft_backbone(params, batch_stats, path: str):
 
 
 def load_ultralytics_checkpoint(path: str, num_classes: int = 80,
-                                variant: str = "s"):
+                                variant: str = "s",
+                                allow_pickle: bool = True):
     """Load a .pt checkpoint file → (model, variables) ready for eval.
-    Requires torch (CPU) to unpickle."""
+    Requires torch (CPU) to unpickle.
+
+    Plain tensor state_dicts load via the safe ``weights_only=True`` path;
+    official Ultralytics releases are FULL-MODEL pickles, which execute
+    code on load — that fallback stays enabled by default (it is this
+    function's main job) but ``allow_pickle=False`` restricts to the safe
+    loader for untrusted files."""
     import torch
     from heltondetection_tpu.models.cspdarknet import VARIANTS
     from heltondetection_tpu.models.yolov5 import build_yolov5
     import jax.numpy as jnp
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except pickle.UnpicklingError as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain tensor state_dict and "
+                "allow_pickle=False (full-model pickles execute arbitrary "
+                "code on load)") from e
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     model_t = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt \
         else ckpt
     sd = model_t.float().state_dict() if hasattr(model_t, "state_dict") \
