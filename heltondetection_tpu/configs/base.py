@@ -104,6 +104,14 @@ class TrainConfig:
     # -recall of model.anchors against the dataset labels and re-fit them
     # (k-means + genetic evolution, data/autoanchor.py) when BPR < 0.98 —
     # the v6.1-lineage anchor check. Deterministic under `seed`
+    multi_scale: Tuple[float, ...] = ()  # yolov5 multi-scale training
+    # (ultralytics --multi-scale lineage), TPU-idiomatic: each factor maps
+    # img_size to a /32-rounded BUCKET size; every step samples one bucket
+    # (seeded, resume-stable) and the batch is resized ON DEVICE inside
+    # that bucket's compiled program — a few static programs instead of
+    # dynamic shapes. Factors must be <= 1.0: the host renders at img_size,
+    # so set img_size to the LARGEST scale and list the smaller factors
+    # (e.g. img_size=960 with (0.67, 0.83, 1.0) ≈ 640-960 multi-scale)
     seed: int = 0
     num_workers: int = 8
     eval_interval: int = 10           # epochs between val evals

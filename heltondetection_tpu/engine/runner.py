@@ -487,6 +487,11 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                         frozen_prefixes=_frozen_prefixes(cfg.model))
 
     is_rcnn = cfg.model.family == "faster_rcnn"
+    if is_rcnn and cfg.train.multi_scale:
+        raise ValueError(
+            "train.multi_scale is a yolov5 feature (the two-stage proposal/"
+            "sampling budgets are tuned per resolution — train separate "
+            "faster_rcnn configs per size instead)")
     if is_rcnn:
         from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
         v = init_faster_rcnn(model, jax.random.PRNGKey(cfg.train.seed),
@@ -520,12 +525,52 @@ def run_train(cfg: ExperimentConfig, resume: bool = True
                 device_augment_batch
             aug_key = jax.random.PRNGKey(cfg.train.seed + 7)
 
-            def step_fn(state, batch):
+            def _augmented(state, batch):
                 r = jax.random.fold_in(aug_key, state.step)
                 aug = device_augment_batch(batch, r,
                                            flip_p=cfg.train.flip_p,
                                            hsv=cfg.train.hsv,
                                            mixup_p=cfg.train.mixup_p)
+                return state, aug
+        else:
+            def _augmented(state, batch):
+                return state, batch
+
+        if cfg.train.multi_scale:
+            # multi-scale training, TPU-idiomatic (configs/base.py knob):
+            # a seeded, resume-stable per-step schedule over a few
+            # /32-bucket sizes; `size` is STATIC, so each bucket is one
+            # cached XLA program and the resize fuses into that step —
+            # bucketed static shapes instead of dynamic ones. Every rank
+            # derives the same size from (seed, global step), so
+            # multi-host programs stay in lockstep.
+            from heltondetection_tpu.train.trainer import (multiscale_sizes,
+                                                           resize_batch_to)
+            if cfg.train.spatial_shards > 1:
+                raise ValueError("multi_scale does not compose with "
+                                 "spatial_shards (per-bucket H splits)")
+            ms_sizes = multiscale_sizes(cfg.model.img_size,
+                                        cfg.train.multi_scale)
+            logger.info("multi-scale training over buckets %s", ms_sizes)
+
+            def _sized(state, batch, size):
+                state, batch = _augmented(state, batch)
+                return base_step(state, resize_batch_to(batch, size))
+
+            ms_jfn = jax.jit(_sized, static_argnums=2)
+            ms_counter = {"n": None}
+
+            def step_fn(state, batch):
+                if ms_counter["n"] is None:   # one sync, resume-aware
+                    ms_counter["n"] = int(jax.device_get(state.step))
+                i = int(np.random.default_rng(
+                    (cfg.train.seed << 20) ^ ms_counter["n"]
+                ).integers(len(ms_sizes)))
+                ms_counter["n"] += 1
+                return ms_jfn(state, batch, ms_sizes[i])
+        elif device_aug:
+            def step_fn(state, batch):
+                state, aug = _augmented(state, batch)
                 return base_step(state, aug)
 
             step_fn = jax.jit(step_fn)

@@ -140,6 +140,51 @@ def _accum_grads(loss_fn, params, batch_stats, batch, aux_of_micro,
     return metrics, new_stats, grads
 
 
+def multiscale_sizes(img_size: int, factors, stride: int = 32
+                     ) -> Tuple[int, ...]:
+    """Multi-scale bucket sizes: each factor maps ``img_size`` to the
+    nearest multiple of the coarsest head stride (so every pyramid level
+    keeps integer dims). Factors must be in (0, 1] — the host pipelines
+    render at ``img_size``, so upscaling past it would fabricate pixels;
+    set img_size to the LARGEST wanted scale instead."""
+    sizes = []
+    for f in factors:
+        if not 0.0 < f <= 1.0:
+            raise ValueError(
+                f"multi_scale factor {f} out of (0, 1]: the host renders "
+                "at img_size — raise model.img_size to the largest scale "
+                "and express the rest as fractions of it")
+        s = max(int(round(img_size * f / stride)) * stride, stride)
+        if s not in sizes:
+            sizes.append(s)
+    if not sizes:
+        raise ValueError("multi_scale needs at least one factor")
+    return tuple(sorted(sizes))
+
+
+def resize_batch_to(batch: Dict, size: int) -> Dict:
+    """Resize a train batch's images to ``size``² on device (bilinear) and
+    scale the gt boxes to match — the inside-jit half of multi-scale
+    training (``size`` is static: one compiled program per bucket). A
+    same-size call only applies the u8 passthrough (the step's fused
+    normalize handles dtype), so factor-1.0 buckets stay bit-identical to
+    single-scale training."""
+    img = batch["image"]
+    s0 = img.shape[1]
+    if size == s0:
+        return batch
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    r = size / s0
+    img = jax.image.resize(
+        img, (img.shape[0], size, int(round(img.shape[2] * r)),
+              img.shape[3]), "bilinear")
+    out = dict(batch)
+    out["image"] = img
+    out["gt_boxes"] = batch["gt_boxes"] * r      # cxcywh pixels: linear
+    return out
+
+
 def make_rcnn_train_step(model, tx, rcnn_cfg, use_ema: bool = True,
                          accum_steps: int = 1) -> Callable:
     """Two-stage FasterRCNN train step (same TrainState contract as the
