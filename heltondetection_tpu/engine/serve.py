@@ -311,7 +311,10 @@ def make_http_server(batcher: BatchingDetector, *, host: str = "0.0.0.0",
                    "scores": scores.round(4).tolist(),
                    "classes": classes.tolist()}
             if class_names is not None:
-                out["names"] = [class_names[c] for c in classes]
+                # a name list shorter than the model's class count must not
+                # drop the connection bodyless (IndexError past the try)
+                out["names"] = [class_names[c] if 0 <= c < len(class_names)
+                                else str(int(c)) for c in classes]
             self._json(200, out)
 
         def log_message(self, *a):     # quiet; the framework logger owns IO
