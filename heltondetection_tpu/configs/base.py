@@ -116,6 +116,10 @@ class TrainConfig:
     num_workers: int = 8
     eval_interval: int = 10           # epochs between val evals
     ckpt_interval: int = 5
+    patience: Optional[int] = None    # early stopping (ultralytics
+    # lineage): stop when val AP has not improved for this many EPOCHS
+    # (checked at eval epochs, so keep eval_interval <= patience). The
+    # stop decision broadcasts from rank 0 so multi-host ranks agree
     pretrain_ckpt: Optional[str] = None   # transfer init (README.md:79)
     backbone_pretrain: Optional[str] = None   # torchvision ResNet .pth
     # (ImageNet weights) grafted onto params["backbone"] via

@@ -329,10 +329,13 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             pr_path = os.path.join(art_dir, "pr_curve.png")
             save_pr_curves_png(det, names, pr_path)
             prf_path = os.path.join(art_dir, "prf_curve.png")
-            save_prf_curves_png(det, names, prf_path)
+            best_conf, best_f1 = save_prf_curves_png(det, names, prf_path)
             logger.info("eval artifacts: confusion matrix (conf 0.25, IoU "
                         "0.45) → %s; PR curves @0.5 → %s; P/R/F1 vs conf "
                         "→ %s", cm_path, pr_path, prf_path)
+            logger.info("mean-F1 peak %.3f at conf %.3f — the suggested "
+                        "test.conf_thres for this model", best_f1,
+                        best_conf)
         except Exception as e:   # matplotlib is optional at runtime
             logger.info("eval artifact rendering unavailable: %s", e)
         try:
@@ -756,6 +759,10 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
     # ckpt (or an incompatible-checkpoint fresh start) restarts at
     # start_epoch 0 yet ckpt_best/ may already hold a better model
     best: Dict[str, float] = _read_best_json(cfg)
+    patience = getattr(cfg.train, "patience", None)
+    # early-stop window anchor: a resumed run's inherited best counts from
+    # the restart, giving the continuation a full fresh window
+    best_epoch = start_epoch - 1
     # in-loop eval reuse: parsed val set, GT-registered DetEval, and the
     # jitted eval step persist across epochs (run_eval's _reuse contract)
     eval_reuse: Dict = {}
@@ -799,41 +806,65 @@ def _train_epochs(cfg, loader, step_fn, state, is_rcnn, mesh, rng, tb,
                     "  ".join(f"{k}={v:.4f}" for k, v in agg.items()))
 
         last = epoch == cfg.train.epochs - 1
+        stop = False
         # rank-0-only ckpt + eval (the reference's DDP pattern): the state
         # is replicated, so process 0's local copy is the full state; eval
         # runs on process-local devices only, so other ranks skipping it
         # cannot deadlock any collective
-        if jax.process_index() != 0:
-            continue
-        host_state = None   # device_get once per epoch, shared by both saves
-        if ((epoch + 1) % cfg.train.ckpt_interval == 0 or last) \
-                and writer is not None:
-            # device_get snapshots the state to fresh host buffers, so the
-            # async write never races the next epoch's device updates
-            host_state = jax.device_get(state)
-            writer.save(host_state, int(state.step))
-        if (epoch + 1) % cfg.train.eval_interval == 0 or last:
-            params = state.ema_params if state.ema_params is not None \
-                else state.params
-            variables = {"params": jax.device_get(params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
-            if cfg.data.val_ann:
-                stats = run_eval(cfg, variables=variables, model=model,
-                                 verbose=False, _reuse=eval_reuse)
-                tb.scalars(epoch, {"AP": stats["AP"],
-                                   "AP50": stats["AP50"]}, prefix="val/")
-                logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,
-                            stats["AP"], stats["AP50"])
-                if stats.get("AP", 0) > best.get("AP", -1):
-                    best = stats
-                    if best_writer is not None:
-                        if host_state is None:
-                            host_state = jax.device_get(state)
-                        best_writer.save(host_state, int(state.step))
-                        _write_best_json(cfg, stats, int(state.step))
-                        logger.info("epoch %d: new best AP=%.4f → %s",
-                                    epoch + 1, stats["AP"],
-                                    cfg.best_ckpt_dir)
+        if jax.process_index() == 0:
+            host_state = None   # one device_get per epoch, shared by saves
+            if ((epoch + 1) % cfg.train.ckpt_interval == 0 or last) \
+                    and writer is not None:
+                # device_get snapshots the state to fresh host buffers, so
+                # the async write never races the next epoch's updates
+                host_state = jax.device_get(state)
+                writer.save(host_state, int(state.step))
+            if (epoch + 1) % cfg.train.eval_interval == 0 or last:
+                params = state.ema_params if state.ema_params is not None \
+                    else state.params
+                variables = {"params": jax.device_get(params),
+                             "batch_stats": jax.device_get(state.batch_stats)}
+                if cfg.data.val_ann:
+                    stats = run_eval(cfg, variables=variables, model=model,
+                                     verbose=False, _reuse=eval_reuse)
+                    tb.scalars(epoch, {"AP": stats["AP"],
+                                       "AP50": stats["AP50"]}, prefix="val/")
+                    logger.info("epoch %d val: AP=%.4f AP50=%.4f", epoch + 1,
+                                stats["AP"], stats["AP50"])
+                    if stats.get("AP", 0) > best.get("AP", -1):
+                        best = stats
+                        best_epoch = epoch
+                        if best_writer is not None:
+                            if host_state is None:
+                                host_state = jax.device_get(state)
+                            best_writer.save(host_state, int(state.step))
+                            _write_best_json(cfg, stats, int(state.step))
+                            logger.info("epoch %d: new best AP=%.4f → %s",
+                                        epoch + 1, stats["AP"],
+                                        cfg.best_ckpt_dir)
+                    elif patience is not None \
+                            and epoch - best_epoch >= patience:
+                        # early stopping (ultralytics lineage): no val-AP
+                        # improvement for `patience` epochs
+                        logger.info(
+                            "early stop at epoch %d: no val AP improvement "
+                            "since epoch %d (patience %d); best AP=%.4f",
+                            epoch + 1, best_epoch + 1, patience,
+                            best.get("AP", 0.0))
+                        stop = True
+                        if host_state is None and writer is not None:
+                            # final weights would otherwise only exist if
+                            # ckpt_interval happened to line up
+                            writer.save(jax.device_get(state),
+                                        int(state.step))
+        if patience is not None and jax.process_count() > 1:
+            # ALL ranks must agree to break (eval ran on rank 0 only); a
+            # collective each eval-capable epoch is noise next to the eval
+            from jax.experimental import multihost_utils
+            stop = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(stop)))
+        if stop:
+            break
     return best
 
 

@@ -585,12 +585,15 @@ def save_pr_curves_png(det: "DetEval",
 
 def save_prf_curves_png(det: "DetEval",
                         class_names: Optional[Sequence[str]],
-                        path: str) -> None:
+                        path: str) -> Tuple[float, float]:
     """Render P/R/F1 vs confidence @IoU 0.5 as three stacked panels (the
     Ultralytics P_curve/R_curve/F1_curve artifacts in one figure). Same
     color policy as :func:`save_pr_curves_png`: ≤8 classes colored in
     fixed order, else gray with only the bold neutral mean; the mean-F1
-    peak is direct-labeled with its confidence."""
+    peak is direct-labeled with its confidence.
+
+    Returns ``(best_conf, best_f1)`` — the mean-F1-optimal confidence
+    threshold (the Ultralytics-style suggestion for test.conf_thres)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -617,6 +620,7 @@ def save_prf_curves_png(det: "DetEval",
         if key == "F1":
             j = int(np.argmax(mean))
             cbest = float(curves[cats[0]]["conf"][j])
+            best = (cbest, float(mean[j]))
             ax.annotate(f"best F1 {mean[j]:.2f} @ conf {cbest:.2f}",
                         (cbest, mean[j]), textcoords="offset points",
                         xytext=(6, 6), fontsize=8, color="#0b0b0b")
@@ -635,6 +639,7 @@ def save_prf_curves_png(det: "DetEval",
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)
+    return best
 
 
 def format_classwise(per_class: Dict[int, Dict[str, float]],
