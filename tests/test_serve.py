@@ -324,6 +324,50 @@ def test_reset_stats(tiny_detector):
         assert bd.stats() == {"requests": 0, "batches": 0, "padded_slots": 0}
 
 
+def test_serve_faster_rcnn_detector(tmp_path):
+    """The --mode serve construction for the TWO-STAGE family:
+    load_detector(cfg, tta=False) on a faster_rcnn config (generic
+    forward+postprocess route — no packed YOLO step) wrapped in
+    BatchingDetector. Pins that the per-image composition-transparency
+    contract holds for the RCNN path too (RPN top-k / RoIAlign / NMS are
+    all per-image fixed-shape) and that a padded tail batch serves."""
+    import heltondetection_tpu
+    from heltondetection_tpu.configs.base import (DataConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig)
+    from heltondetection_tpu.engine.runner import build_model
+    from heltondetection_tpu.models.faster_rcnn import init_faster_rcnn
+    from heltondetection_tpu.train.schedule import make_optimizer
+    from heltondetection_tpu.train.trainer import TrainState
+    from heltondetection_tpu.utils import ckpt as ckpt_io
+
+    cfg = ExperimentConfig(
+        name="serve_rcnn", work_dir=str(tmp_path),
+        data=DataConfig(class_names=["a", "b", "c", "d"]),
+        model=ModelConfig(family="faster_rcnn", backbone="resnet18",
+                          num_classes=4, img_size=64),
+        test=TestConfig(conf_thres=0.01))
+    model = build_model(cfg.model, 4)
+    v = init_faster_rcnn(model, jax.random.PRNGKey(0), 64)
+    tx = make_optimizer(1e-3, total_steps=10, warmup_steps=1)
+    state = TrainState(v["params"], v["batch_stats"], tx.init(v["params"]),
+                       jnp.zeros((), jnp.int32), v["params"])
+    ckpt_io.save_state(cfg.ckpt_dir, jax.device_get(state), 1)
+
+    det = heltondetection_tpu.load_detector(cfg, tta=False)
+    frames = _frames(3, seed=29)
+    want = [det.detect_batch([f] * 2)[0] for f in frames]
+    with BatchingDetector(det, batch_size=2, max_wait_ms=20.0) as bd:
+        got = [f.result(timeout=300)
+               for f in [bd.submit(fr) for fr in frames]]
+        stats = bd.stats()
+    assert stats["requests"] == 3 and stats["batches"] >= 2
+    for (b1, s1, c1), (b2, s2, c2) in zip(want, got):
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(c1, c2)
+
+
 def test_batching_detector_sharded_over_mesh(tiny_detector):
     """mesh=: every batch shards over the data axis (one server feeds all
     local chips, the evaluator's multi-chip pattern) with results identical
