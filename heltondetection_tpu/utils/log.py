@@ -13,20 +13,31 @@ from typing import Dict, Optional
 def get_logger(name: str = "heltondetection",
                log_file: Optional[str] = None) -> logging.Logger:
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter(
         "%(asctime)s %(levelname)s %(name)s: %(message)s", "%H:%M:%S")
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        logger.propagate = False
     if log_file:
-        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
-    logger.propagate = False
+        # the logger is a process singleton, but the FILE target belongs to
+        # the current run: a second run_train in the same process (sweeps,
+        # back-to-back tests) must log into ITS work_dir, not run 1's
+        path = os.path.abspath(log_file)
+        stale = [h for h in logger.handlers
+                 if isinstance(h, logging.FileHandler)
+                 and h.baseFilename != path]
+        for h in stale:
+            logger.removeHandler(h)
+            h.close()
+        if not any(isinstance(h, logging.FileHandler)
+                   and h.baseFilename == path for h in logger.handlers):
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
