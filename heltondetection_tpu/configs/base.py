@@ -148,6 +148,9 @@ class TestConfig:
     tta: bool = False                 # README.md:19
     tta_scales: Tuple[float, ...] = (1.0, 0.83)
     save_heatmaps: bool = False       # demo-style per-level panels
+    int8: bool = False                # W8A8 PTQ serving (ops/quant.py):
+    # backbone/neck convs on the MXU's 2x int8 path; calibrated on val
+    int8_calib: int = 32              # calibration images (from the val set)
 
 
 @dataclass

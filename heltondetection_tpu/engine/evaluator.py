@@ -94,7 +94,7 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
                            max_det: Optional[int] = None,
                            approx: bool = False, multi_label: bool = True,
                            normalize: bool = True,
-                           anchors=None) -> Callable:
+                           anchors=None, quant=None) -> Callable:
     """Build the fused packed-head serve step for a YOLOv5 model.
 
     ``model`` is a standard (unpacked) YOLOv5; its variables are mapped to
@@ -102,6 +102,10 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
     and a ``step(images) -> (boxes, scores, classes, valid)`` closure over
     the fused postprocess (ops/postprocess.py) is returned — pass it to
     ``Evaluator(step_fn=...)`` or jit it directly for serving.
+
+    ``quant`` (ops/quant.build_quant_tree / quantize_yolo output) switches
+    every conv present in the tree to the W8A8 int8 MXU path — 2x bf16's
+    conv peak on v5e; backbone/neck only, head logits stay float.
     """
     import dataclasses
     from heltondetection_tpu.models.yolov5 import pack_head_variables
@@ -109,6 +113,8 @@ def make_packed_serve_step(model, variables, num_classes: int, *,
 
     model_p = dataclasses.replace(model, packed_head=True)
     vp = pack_head_variables(variables, num_classes)
+    if quant is not None:
+        vp = {**vp, "quant": quant}
     apply_fn = _packed_apply_fn(model_p, num_classes, conf_thres=conf_thres,
                                 iou_thres=iou_thres,
                                 pre_nms_topk=pre_nms_topk, max_det=max_det,

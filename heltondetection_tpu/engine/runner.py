@@ -938,18 +938,44 @@ def _make_detector(cfg, model, variables, nc: int, **overrides):
     kw = dict(conf_thres=cfg.test.conf_thres, iou_thres=cfg.test.iou_thres,
               tta=cfg.test.tta, tta_scales=cfg.test.tta_scales)
     kw.update(overrides)
+    int8 = kw.pop("int8", getattr(cfg.test, "int8", False))
     if cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True) \
             and "detect_fn" not in kw:
         from heltondetection_tpu.engine.evaluator import \
             make_packed_serve_step
+        quant = _int8_quant_tree(cfg, model, variables) if int8 else None
         kw["detect_fn"] = make_packed_serve_step(
             model, variables, nc, conf_thres=kw["conf_thres"],
             iou_thres=kw["iou_thres"], max_det=kw.get("max_det", 300),
-            multi_label=False, anchors=_cfg_anchors(cfg))
+            multi_label=False, anchors=_cfg_anchors(cfg), quant=quant)
         fwd = None
     else:
+        if int8:
+            get_logger().warning(
+                "test.int8 requested but the int8 path only exists for the "
+                "fused yolov5 serve step — running float")
         fwd = _forward_for_eval(cfg, model, variables)
     return Detector(fwd, nc, cfg.model.img_size, **kw)
+
+
+def _int8_quant_tree(cfg, model, variables):
+    """Calibrate + build the W8A8 "quant" collection (ops/quant.py) on the
+    first ``cfg.test.int8_calib`` val-set images, letterboxed exactly as
+    serving letterboxes them. Beyond-reference: the reference's fastest
+    deploy path is half-precision ONNX (README.md:23); v5e's int8 MXU path
+    doubles the conv peak."""
+    from heltondetection_tpu.data.augment import letterbox_np
+    from heltondetection_tpu.ops.quant import quantize_yolo
+    ds = build_dataset(cfg.data, "val")
+    n = min(int(getattr(cfg.test, "int8_calib", 32)), len(ds))
+    if n == 0:
+        raise ValueError("test.int8 needs a non-empty val set to calibrate")
+    no_boxes = np.zeros((0, 4), np.float32)
+    imgs = [letterbox_np(ds.load(i)["image"], no_boxes,
+                         cfg.model.img_size)[0] for i in range(n)]
+    get_logger().info("int8 PTQ: calibrating on %d val images", n)
+    return quantize_yolo(model, variables,
+                         np.stack(imgs).astype(np.uint8))
 
 
 def run_test(cfg: ExperimentConfig, source: str,

@@ -14,10 +14,28 @@ Conv/Bottleneck/C3/SPPF modules, SURVEY.md §2a). TPU-first choices:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time flag: when set, every ConvBnAct sows its input's abs-max into
+# the "quant_stats" collection (calibration pass for W8A8 serving — see
+# ops/quant.py). A contextvar (not a module attribute) so no model code has
+# to thread it; jit traces under our control, so trace-time is enough.
+_CALIBRATE = contextvars.ContextVar("heltondetection_quant_calibrate",
+                                    default=False)
+
+
+@contextlib.contextmanager
+def calibration_mode():
+    tok = _CALIBRATE.set(True)
+    try:
+        yield
+    finally:
+        _CALIBRATE.reset(tok)
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -52,6 +70,38 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.kernel) if self.pad is None else self.pad
+        if _CALIBRATE.get():
+            # W8A8 calibration (ops/quant.py): record this conv's input
+            # abs-max. jnp.maximum reduce so several calibration batches
+            # under one mutable apply keep the running max.
+            self.sow("quant_stats", "in_amax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+        if self.has_variable("quant", "w_q"):
+            # W8A8 serving path (ops/quant.py built the "quant" collection):
+            # BN is folded, weights are per-out-channel int8, the input is
+            # quantized with a calibrated static scale, and the conv runs
+            # int8xint8->int32 on the MXU's double-rate int8 path. The
+            # quant/dequant elementwise ops fuse into neighbours under XLA.
+            import jax
+            w_q = self.get_variable("quant", "w_q")
+            out_scale = self.get_variable("quant", "out_scale")
+            bias = self.get_variable("quant", "bias")
+            inv_in = self.get_variable("quant", "inv_in_scale")
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_in),
+                           -127.0, 127.0).astype(jnp.int8)
+            dn = jax.lax.conv_dimension_numbers(
+                x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x_q, w_q, (self.stride, self.stride), ((p, p), (p, p)),
+                dimension_numbers=dn,
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * out_scale + bias).astype(self.dtype)
+            if self.act:
+                y = nn.silu(y)
+            return y
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)),

@@ -1,0 +1,147 @@
+"""W8A8 post-training quantization (ops/quant.py) — beyond-reference
+serving path: BN-folded per-channel int8 weights + calibrated static
+activation scales feeding the MXU's double-rate int8 conv
+(tools/bench_int8.py measures 1.8-1.9x over bf16 on chip)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from heltondetection_tpu.models.common import ConvBnAct
+from heltondetection_tpu.models.yolov5 import build_yolov5
+from heltondetection_tpu.ops.quant import (build_quant_tree, calibrate_amax,
+                                           quantize_yolo)
+
+
+class _OneConv(nn.Module):
+    """Wrapper so the ConvBnAct sits at a named path (quant trees mirror
+    module paths; the walk starts below the params root)."""
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBnAct(16, 3, name="c")(x, train)
+
+
+def _realistic_variables(model, x0, key=0):
+    """Init, then give BN non-trivial running stats / affine params so the
+    fold actually exercises every term."""
+    variables = model.init(jax.random.PRNGKey(key), x0, train=False)
+    rng = np.random.default_rng(key)
+
+    def _jitter(path, v):
+        name = path[-1].key
+        v = np.asarray(v, np.float32)
+        if name == "mean":
+            return jnp.asarray(rng.normal(0, 0.3, v.shape).astype(np.float32))
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.3, 2.0, v.shape)
+                               .astype(np.float32))
+        if name == "scale":
+            return jnp.asarray(rng.uniform(0.5, 1.5, v.shape)
+                               .astype(np.float32))
+        if name == "bias":
+            return jnp.asarray(rng.normal(0, 0.2, v.shape).astype(np.float32))
+        return jnp.asarray(v)
+
+    return jax.tree_util.tree_map_with_path(_jitter, variables)
+
+
+def test_single_conv_int8_close():
+    """Folded + quantized ConvBnAct tracks the float path within ~2% —
+    the per-layer error budget the 56-conv chain composes from."""
+    model = _OneConv()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 16, 16, 8)), jnp.float32)
+    variables = _realistic_variables(model, x)
+    amax = calibrate_amax(model, variables, [x], normalize=False)
+    q = build_quant_tree(variables, amax)
+    assert q["c"]["w_q"].dtype == jnp.int8
+    y_f = np.asarray(model.apply(variables, x, train=False), np.float32)
+    y_q = np.asarray(model.apply({**variables, "quant": q}, x, train=False),
+                     np.float32)
+    rel = np.linalg.norm(y_f - y_q) / np.linalg.norm(y_f)
+    assert rel < 0.02, rel
+
+
+def test_quantize_yolo_structure():
+    nc, S = 7, 64
+    model = build_yolov5("n", num_classes=nc)
+    x0 = jnp.zeros((1, S, S, 3))
+    variables = _realistic_variables(model, x0)
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 255, (4, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo(model, variables, calib)
+    assert "backbone" in q and "neck" in q
+    assert "stem" not in q["backbone"]          # skipped (3-ch, accuracy)
+    assert "down1" in q["backbone"]
+    # every entry carries the 4-tensor contract
+    n = 0
+    for leaf_path, leaf in jax.tree_util.tree_leaves_with_path(q):
+        name = leaf_path[-1].key
+        assert name in ("w_q", "out_scale", "bias", "inv_in_scale")
+        if name == "w_q":
+            assert leaf.dtype == jnp.int8
+            n += 1
+    assert n > 40   # yolov5n backbone+neck conv count (56 incl. stem)
+
+
+def test_yolo_int8_raw_outputs_close():
+    """End-to-end backbone+neck int8 vs float: raw head logits stay within
+    a modest relative error even on a random (worst-case) init — measured
+    ~0.05 rel L2 through 56 quantized convs; bound leaves margin."""
+    nc, S = 7, 64
+    model = build_yolov5("n", num_classes=nc)
+    variables = _realistic_variables(model, jnp.zeros((1, S, S, 3)))
+    rng = np.random.default_rng(2)
+    calib = rng.integers(0, 255, (8, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo(model, variables, calib)
+    im = jnp.asarray(rng.integers(0, 255, (2, S, S, 3)), jnp.float32) / 255.0
+    raw_f = model.apply(variables, im, train=False)
+    raw_q = model.apply({**variables, "quant": q}, im, train=False)
+    for a, b in zip(raw_f, raw_q):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 0.15, rel
+
+
+@pytest.mark.smoke
+def test_packed_serve_step_int8():
+    """The production serve step accepts quant= and keeps its contract:
+    shapes, finiteness, class range, determinism."""
+    from heltondetection_tpu.engine.evaluator import make_packed_serve_step
+    nc, S = 7, 64
+    model = build_yolov5("n", num_classes=nc)
+    variables = _realistic_variables(model, jnp.zeros((1, S, S, 3)))
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, 255, (4, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo(model, variables, calib)
+    step = jax.jit(make_packed_serve_step(model, variables, nc,
+                                          conf_thres=0.05, multi_label=False,
+                                          quant=q))
+    im = jnp.asarray(rng.integers(0, 255, (2, S, S, 3)), jnp.float32)
+    boxes, scores, classes, valid = step(im)
+    assert boxes.shape[0] == 2 and boxes.shape[-1] == 4
+    assert np.isfinite(np.asarray(boxes, np.float32)).all()
+    v = np.asarray(valid, bool)
+    cls = np.asarray(classes)[v]
+    assert ((cls >= 0) & (cls < nc)).all()
+    b2 = step(im)
+    for x1, x2 in zip((boxes, scores, classes, valid), b2):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_uncalibrated_variables_float_fallback():
+    """Without a quant collection the model is bit-identical to before the
+    feature (the quant branch is keyed purely on collection presence)."""
+    nc, S = 4, 32
+    model = build_yolov5("n", num_classes=nc)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
+                           train=False)
+    im = jnp.asarray(np.random.default_rng(0)
+                     .integers(0, 255, (1, S, S, 3)), jnp.float32) / 255.0
+    a = model.apply(variables, im, train=False)
+    b = model.apply(dict(variables), im, train=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
