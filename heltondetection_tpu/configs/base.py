@@ -139,6 +139,10 @@ class EvalConfig:
     ckpt: str = "last"   # which checkpoint eval/test/export load:
     # "last" = newest rotating ckpt; "best" = the best-val-AP snapshot
     # (ckpt_best/, written whenever the in-loop eval improves)
+    int8: bool = False   # score the W8A8-quantized program (ops/quant.py)
+    # so --mode eval reports the mAP cost of PTQ before serving uses it;
+    # calibration knobs are shared with TestConfig (int8_calib*). Ignored
+    # by the in-training eval loop (which always scores float).
 
 
 @dataclass
@@ -151,6 +155,9 @@ class TestConfig:
     int8: bool = False                # W8A8 PTQ serving (ops/quant.py):
     # backbone/neck convs on the MXU's 2x int8 path; calibrated on val
     int8_calib: int = 32              # calibration images (from the val set)
+    int8_calib_dir: Optional[str] = None   # calibrate on this directory of
+    # images instead of the val split (pure-inference hosts); the quant
+    # tree is cached at {work_dir}/{name}/int8_quant.npz either way
 
 
 @dataclass

@@ -119,14 +119,19 @@ def _cfg_anchors(cfg: ExperimentConfig):
     return normalize_anchors(cfg.model.anchors)
 
 
-def _forward_for_eval(cfg: ExperimentConfig, model, variables):
+def _forward_for_eval(cfg: ExperimentConfig, model, variables, quant=None):
     """raw uint8 images → (boxes, obj, cls) unified eval contract (the
     /255 normalization is fused on device, BASELINE.json N7).
 
     The decode width comes from the MODEL (the head's actual class count),
     never cfg.model.num_classes — run_train derives num_classes from the
     annotations when they disagree with the config, and mixing the two
-    sources here decodes a trained head at the wrong channel count."""
+    sources here decodes a trained head at the wrong channel count.
+
+    ``quant``: an ops/quant.py W8A8 tree; merged into the apply variables
+    so the backbone/neck convs run the MXU's int8 path."""
+    if quant is not None:
+        variables = {**variables, "quant": quant}
     if cfg.model.family == "yolov5":
         from heltondetection_tpu.models.yolov5 import decode_full
         anchors = _cfg_anchors(cfg)
@@ -265,9 +270,13 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
         ev = Evaluator(None, nc, step_fn=step, mesh=mesh, jit_step=False)
     elif fused:
         # fused packed-head serve path (ops/postprocess.py): ~1.5× the
-        # decode_full route's throughput, same pycocotools verdicts
+        # decode_full route's throughput, same pycocotools verdicts.
+        # eval.int8 scores the SAME quantized program serving would run,
+        # so the mAP cost of PTQ is measurable in-framework before deploy.
         from heltondetection_tpu.engine.evaluator import \
             make_packed_serve_step
+        quant = _int8_quant_tree(cfg, model, variables) \
+            if getattr(cfg.eval, "int8", False) else None
         step = make_packed_serve_step(model, variables, nc,
                                       conf_thres=cfg.eval.conf_thres,
                                       iou_thres=cfg.eval.iou_thres,
@@ -275,10 +284,12 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
                                       approx=getattr(cfg.eval, "approx",
                                                      False),
                                       multi_label=multi_label,
-                                      anchors=_cfg_anchors(cfg))
+                                      anchors=_cfg_anchors(cfg), quant=quant)
         ev = Evaluator(None, nc, step_fn=step, mesh=mesh)
     else:
-        fwd = _forward_for_eval(cfg, model, variables)
+        quant = _int8_quant_tree(cfg, model, variables) \
+            if getattr(cfg.eval, "int8", False) else None
+        fwd = _forward_for_eval(cfg, model, variables, quant=quant)
         ev = Evaluator(fwd, nc, conf_thres=cfg.eval.conf_thres,
                        iou_thres=cfg.eval.iou_thres,
                        max_det=cfg.eval.max_det, multi_label=multi_label,
@@ -950,32 +961,129 @@ def _make_detector(cfg, model, variables, nc: int, **overrides):
             multi_label=False, anchors=_cfg_anchors(cfg), quant=quant)
         fwd = None
     else:
-        if int8:
+        quant = None
+        if int8 and "detect_fn" in kw:
             get_logger().warning(
-                "test.int8 requested but the int8 path only exists for the "
-                "fused yolov5 serve step — running float")
-        fwd = _forward_for_eval(cfg, model, variables)
+                "test.int8 requested but a caller-supplied detect_fn "
+                "overrides the built serve step — the custom fn runs as "
+                "given (float unless it quantizes itself)")
+        elif int8:
+            quant = _int8_quant_tree(cfg, model, variables)
+        fwd = _forward_for_eval(cfg, model, variables, quant=quant)
     return Detector(fwd, nc, cfg.model.img_size, **kw)
+
+
+def _quant_cache_paths(tree):
+    """Flatten a quant tree to {slash-path: np.ndarray} for npz I/O."""
+    flat = {}
+
+    def _walk(t, path):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                _walk(v, path + (k,))
+            else:
+                flat["/".join(path + (k,))] = np.asarray(v)
+    _walk(tree, ())
+    return flat
+
+
+def _params_fingerprint(variables) -> np.ndarray:
+    """Cheap deterministic checkpoint identity for the quant cache: leaf
+    count + float64 sum of per-leaf |x| sums over params AND batch_stats
+    (the fold consumes both)."""
+    leaves = jax.tree_util.tree_leaves(
+        {"p": variables.get("params", {}),
+         "b": variables.get("batch_stats", {})})
+    s = np.float64(0.0)
+    for leaf in leaves:
+        s += np.float64(np.sum(np.abs(np.asarray(leaf, np.float64))))
+    return np.asarray([len(leaves), s], np.float64)
 
 
 def _int8_quant_tree(cfg, model, variables):
     """Calibrate + build the W8A8 "quant" collection (ops/quant.py) on the
-    first ``cfg.test.int8_calib`` val-set images, letterboxed exactly as
-    serving letterboxes them. Beyond-reference: the reference's fastest
+    first ``cfg.test.int8_calib`` calibration images, letterboxed exactly
+    as serving letterboxes them. Beyond-reference: the reference's fastest
     deploy path is half-precision ONNX (README.md:23); v5e's int8 MXU path
-    doubles the conv peak."""
+    doubles the conv peak.
+
+    Calibration images come from ``cfg.test.int8_calib_dir`` (a directory
+    of images — lets pure-inference hosts run ``--mode test`` int8 without
+    the val split on disk) or else the val set. The resulting tree is
+    CACHED at ``{work_dir}/{name}/int8_quant.npz`` keyed by a checkpoint
+    fingerprint + calibration id, so repeated ``load_detector`` calls
+    skip the calibrate+fold pass (deterministic for a given ckpt+calib
+    set)."""
     from heltondetection_tpu.data.augment import letterbox_np
-    from heltondetection_tpu.ops.quant import quantize_yolo
-    ds = build_dataset(cfg.data, "val")
-    n = min(int(getattr(cfg.test, "int8_calib", 32)), len(ds))
-    if n == 0:
-        raise ValueError("test.int8 needs a non-empty val set to calibrate")
+    from heltondetection_tpu.ops.quant import quantize_rcnn, quantize_yolo
+    logger = get_logger()
+    n_want = int(getattr(cfg.test, "int8_calib", 32))
+    calib_dir = getattr(cfg.test, "int8_calib_dir", None)
     no_boxes = np.zeros((0, 4), np.float32)
-    imgs = [letterbox_np(ds.load(i)["image"], no_boxes,
-                         cfg.model.img_size)[0] for i in range(n)]
-    get_logger().info("int8 PTQ: calibrating on %d val images", n)
-    return quantize_yolo(model, variables,
-                         np.stack(imgs).astype(np.uint8))
+    if calib_dir:
+        from heltondetection_tpu.data.readers import (YOLODataset,
+                                                      imread_rgb)
+        files = sorted(
+            os.path.join(calib_dir, f) for f in os.listdir(calib_dir)
+            if os.path.splitext(f)[1].lower() in YOLODataset.IMG_EXTS
+        )[:n_want]
+        if not files:
+            raise ValueError(
+                f"test.int8_calib_dir={calib_dir!r} holds no images")
+        calib_id = f"dir:{calib_dir}:{len(files)}"
+        load = lambda i: imread_rgb(files[i])
+        n = len(files)
+    else:
+        ds = build_dataset(cfg.data, "val")
+        n = min(n_want, len(ds))
+        if n == 0:
+            raise ValueError(
+                "test.int8 needs a non-empty val set (or "
+                "test.int8_calib_dir) to calibrate")
+        calib_id = f"val:{n}"
+        load = lambda i: ds.load(i)["image"]
+
+    cache_path = os.path.join(cfg.work_dir, cfg.name, "int8_quant.npz")
+    fp = _params_fingerprint(variables)
+    if os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path, allow_pickle=False)
+            if (str(z["__calib_id__"]) == calib_id
+                    and np.allclose(z["__fingerprint__"], fp)):
+                tree: Dict = {}
+                for key in z.files:
+                    if key.startswith("__"):
+                        continue
+                    node = tree
+                    *parts, leaf = key.split("/")
+                    for p in parts:
+                        node = node.setdefault(p, {})
+                    node[leaf] = jnp.asarray(z[key])
+                logger.info("int8 PTQ: loaded cached quant tree %s",
+                            cache_path)
+                return tree
+            logger.info("int8 PTQ: cache at %s is stale (checkpoint or "
+                        "calibration set changed) — recalibrating",
+                        cache_path)
+        except (OSError, ValueError, KeyError) as e:
+            logger.warning("int8 PTQ: unreadable cache %s (%s) — "
+                           "recalibrating", cache_path, e)
+
+    imgs = [letterbox_np(load(i), no_boxes, cfg.model.img_size)[0]
+            for i in range(n)]
+    logger.info("int8 PTQ: calibrating on %d images (%s)", n, calib_id)
+    quantize = (quantize_yolo if cfg.model.family == "yolov5"
+                else quantize_rcnn)
+    tree = quantize(model, variables, np.stack(imgs).astype(np.uint8))
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez(cache_path, __fingerprint__=fp,
+                 __calib_id__=np.asarray(calib_id),
+                 **_quant_cache_paths(tree))
+        logger.info("int8 PTQ: cached quant tree at %s", cache_path)
+    except OSError as e:   # read-only work_dir: serve from memory only
+        logger.warning("int8 PTQ: could not cache quant tree (%s)", e)
+    return tree
 
 
 def run_test(cfg: ExperimentConfig, source: str,

@@ -38,6 +38,73 @@ def calibration_mode():
         _CALIBRATE.reset(tok)
 
 
+def _act_stats(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor activation statistics for calibration: ``[amax, p999]``.
+
+    The 99.9th percentile of |x| (estimated on a <=2^20-element strided
+    subsample — plenty for a 3-digit quantile) lets ops/quant.py clip one
+    activation outlier instead of letting it set the scale for the whole
+    tensor (the classic abs-max PTQ failure mode)."""
+    ax = jnp.abs(x.astype(jnp.float32)).ravel()
+    stride = max(1, ax.shape[0] // (1 << 20))
+    p999 = jnp.quantile(ax[::stride], 0.999)
+    return jnp.stack([jnp.max(ax), p999])
+
+
+def conv_bn_maybe_quant(mod: nn.Module, x: jnp.ndarray, *, features: int,
+                        kernel: int, stride: int = 1, pad: int | None = None,
+                        groups: int = 1, dtype: Any, conv_name: str,
+                        bn_name: str, bn_momentum: float, bn_eps: float,
+                        bn_train: bool) -> jnp.ndarray:
+    """Conv → BatchNorm with the W8A8 serving + calibration hooks, shared
+    by :class:`ConvBnAct` and the ResNet blocks (no activation — the caller
+    owns it).
+
+    Three modes, keyed purely on ambient state:
+
+    * calibration (:func:`calibration_mode`): sow this conv's input
+      ``[amax, p999]`` into the ``quant_stats`` collection, then run float.
+    * serving with a "quant" collection present (ops/quant.py built it):
+      BN is folded, weights are per-out-channel int8, the input is
+      quantized with a calibrated static scale, and the conv runs
+      int8 x int8 -> int32 on the MXU's double-rate path. The quant/dequant
+      elementwise ops fuse into neighbours under XLA.
+    * otherwise: the plain float conv+BN (bit-identical to pre-feature).
+
+    Quant/stats variable names are prefixed with ``conv_name + "_"`` unless
+    the module follows the ConvBnAct convention (one conv named "conv"), so
+    multi-conv modules (ResNet Bottleneck) can hold several quantized convs
+    side by side without colliding with their submodule scopes.
+    """
+    import jax
+    p = autopad(kernel) if pad is None else pad
+    prefix = "" if conv_name == "conv" else conv_name + "_"
+    if _CALIBRATE.get():
+        mod.sow("quant_stats", prefix + "in_amax", _act_stats(x),
+                init_fn=lambda: jnp.zeros((2,), jnp.float32),
+                reduce_fn=jnp.maximum)
+    if mod.has_variable("quant", prefix + "w_q"):
+        w_q = mod.get_variable("quant", prefix + "w_q")
+        out_scale = mod.get_variable("quant", prefix + "out_scale")
+        bias = mod.get_variable("quant", prefix + "bias")
+        inv_in = mod.get_variable("quant", prefix + "inv_in_scale")
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_in),
+                       -127.0, 127.0).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, (stride, stride), ((p, p), (p, p)),
+            dimension_numbers=dn, feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * out_scale + bias).astype(dtype)
+    x = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                padding=((p, p), (p, p)), feature_group_count=groups,
+                use_bias=False, dtype=dtype, name=conv_name)(x)
+    return nn.BatchNorm(use_running_average=not bn_train,
+                        momentum=bn_momentum, epsilon=bn_eps, dtype=dtype,
+                        name=bn_name)(x)
+
+
 def make_divisible(x: float, divisor: int = 8) -> int:
     import math
     return max(divisor, int(math.ceil(x / divisor) * divisor))
@@ -69,46 +136,12 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = autopad(self.kernel) if self.pad is None else self.pad
-        if _CALIBRATE.get():
-            # W8A8 calibration (ops/quant.py): record this conv's input
-            # abs-max. jnp.maximum reduce so several calibration batches
-            # under one mutable apply keep the running max.
-            self.sow("quant_stats", "in_amax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))),
-                     init_fn=lambda: jnp.zeros((), jnp.float32),
-                     reduce_fn=jnp.maximum)
-        if self.has_variable("quant", "w_q"):
-            # W8A8 serving path (ops/quant.py built the "quant" collection):
-            # BN is folded, weights are per-out-channel int8, the input is
-            # quantized with a calibrated static scale, and the conv runs
-            # int8xint8->int32 on the MXU's double-rate int8 path. The
-            # quant/dequant elementwise ops fuse into neighbours under XLA.
-            import jax
-            w_q = self.get_variable("quant", "w_q")
-            out_scale = self.get_variable("quant", "out_scale")
-            bias = self.get_variable("quant", "bias")
-            inv_in = self.get_variable("quant", "inv_in_scale")
-            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_in),
-                           -127.0, 127.0).astype(jnp.int8)
-            dn = jax.lax.conv_dimension_numbers(
-                x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
-                x_q, w_q, (self.stride, self.stride), ((p, p), (p, p)),
-                dimension_numbers=dn,
-                feature_group_count=self.groups,
-                preferred_element_type=jnp.int32)
-            y = (y.astype(jnp.float32) * out_scale + bias).astype(self.dtype)
-            if self.act:
-                y = nn.silu(y)
-            return y
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)),
-                    feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        x = conv_bn_maybe_quant(self, x, features=self.features,
+                                kernel=self.kernel, stride=self.stride,
+                                pad=self.pad, groups=self.groups,
+                                dtype=self.dtype, conv_name="conv",
+                                bn_name="bn", bn_momentum=0.97, bn_eps=1e-3,
+                                bn_train=train)
         if self.act:
             x = nn.silu(x)
         return x

@@ -12,11 +12,19 @@ Freezing: :func:`freeze_mask` returns a pytree mask usable with
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from heltondetection_tpu.models.common import conv_bn_maybe_quant
+
+# torchvision BN hyperparams; conv_bn_maybe_quant adds the W8A8 PTQ hooks
+# (ops/quant.py — serving-path backbone quantization; the param tree is
+# unchanged: convN/bnN stay sibling submodules)
+_cbn = functools.partial(conv_bn_maybe_quant, bn_momentum=0.9, bn_eps=1e-5)
 
 
 class Bottleneck(nn.Module):
@@ -29,28 +37,20 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=dt,
-                    name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="bn1")(y)
+        y = _cbn(self, x, features=self.features, kernel=1, dtype=dt,
+                 conv_name="conv1", bn_name="bn1", bn_train=train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
-                    name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="bn2")(y)
+        y = _cbn(self, y, features=self.features, kernel=3,
+                 stride=self.stride, dtype=dt, conv_name="conv2",
+                 bn_name="bn2", bn_train=train)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=dt,
-                    name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="bn3")(y)
+        y = _cbn(self, y, features=self.features * 4, kernel=1, dtype=dt,
+                 conv_name="conv3", bn_name="bn3", bn_train=train)
         if self.downsample:
-            residual = nn.Conv(self.features * 4, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=dt, name="ds_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5, dtype=dt,
-                                    name="ds_bn")(residual)
+            residual = _cbn(self, x, features=self.features * 4, kernel=1,
+                            stride=self.stride, dtype=dt,
+                            conv_name="ds_conv", bn_name="ds_bn",
+                            bn_train=train)
         return nn.relu(y + residual)
 
 
@@ -65,23 +65,17 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
-                    name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="bn1")(y)
+        y = _cbn(self, x, features=self.features, kernel=3,
+                 stride=self.stride, dtype=dt, conv_name="conv1",
+                 bn_name="bn1", bn_train=train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=dt, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="bn2")(y)
+        y = _cbn(self, y, features=self.features, kernel=3, dtype=dt,
+                 conv_name="conv2", bn_name="bn2", bn_train=train)
         if self.downsample:
-            residual = nn.Conv(self.features, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=dt, name="ds_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5, dtype=dt,
-                                    name="ds_bn")(residual)
+            residual = _cbn(self, x, features=self.features, kernel=1,
+                            stride=self.stride, dtype=dt,
+                            conv_name="ds_conv", bn_name="ds_bn",
+                            bn_train=train)
         return nn.relu(y + residual)
 
 
@@ -113,10 +107,8 @@ class ResNet(nn.Module):
         # norm_eval=False — otherwise the frozen stage's eval-time function
         # would drift under its pinned weights as stats keep updating
         stem_bn = bn_train and self.frozen_stages < 1
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=dt, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not stem_bn, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, name="stem_bn")(x)
+        x = _cbn(self, x, features=64, kernel=7, stride=2, dtype=dt,
+                 conv_name="stem_conv", bn_name="stem_bn", bn_train=stem_bn)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 1:

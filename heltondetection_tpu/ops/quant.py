@@ -7,7 +7,7 @@ onnxruntime): TPU v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 peak
 chained YOLO-shaped convs INCLUDING the per-layer quantize/dequantize
 elementwise cost (which XLA fuses into neighbours). This module turns a
 trained float checkpoint into a "quant" variables collection that
-models/common.ConvBnAct consumes:
+models/common.conv_bn_maybe_quant consumes:
 
 * BatchNorm is folded into the conv (serving runs on running stats, so BN
   is an affine per-channel transform: w' = w * g, b' = beta - mean * g with
@@ -16,15 +16,30 @@ models/common.ConvBnAct consumes:
   (s_w[c] = amax_c / 127).
 * Activations are quantized per-tensor symmetric int8 with STATIC scales
   calibrated by running a few batches through the float model while every
-  ConvBnAct sows its input abs-max (models/common.calibration_mode).
-* The head (detect convs) and the 3-channel stem stay float: the head's
-  logits are precision-sensitive (models/yolov5.py keeps them f32 even in
-  bf16 serving) and the stem is <0.3% of the FLOPs.
+  conv sows its input [amax, p999] (models/common.calibration_mode). The
+  default activation clip is the 99.9th percentile — one activation
+  outlier must not set the scale for the whole tensor.
+* The detect/RPN/box heads and the 3-channel stems stay float: head logits
+  are precision-sensitive (models/yolov5.py keeps them f32 even in bf16
+  serving) and the stems are <0.3% of the FLOPs.
+
+Two conv+BN layouts are recognized (both flow through the same
+``conv_bn_maybe_quant`` serving hook):
+
+* ConvBnAct modules (YOLO family, PAFPN necks): params
+  ``{mod: {conv: {kernel}, bn: {scale, bias}}}`` -> quant entries nested
+  at ``{mod: {w_q, out_scale, bias, inv_in_scale}}``.
+* Sibling pairs (ResNet blocks): params ``{convN: {kernel}, bnN: ...}``
+  with the BN partner named ``convN.replace("conv", "bn")`` -> flat quant
+  entries ``{convN_w_q, convN_out_scale, ...}`` beside the submodules.
 
 Usage::
 
     qtree = quantize_yolo(model, variables, calib_images)   # (N,S,S,3) u8
     step = make_packed_serve_step(model, variables, nc, quant=qtree)
+
+    qtree = quantize_rcnn(model, variables, calib_images)   # FasterRCNN
+    dets = faster_rcnn_infer(model, {**variables, "quant": qtree}, ...)
 
 Only convs present in the quant tree run int8; everything else falls back
 to the float path, so partial quantization (``skip=``) is free.
@@ -39,8 +54,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from heltondetection_tpu.models.common import calibration_mode
+from heltondetection_tpu.utils.log import get_logger
 
-BN_EPS = 1e-3   # models/common.ConvBnAct BatchNorm epsilon
+BN_EPS_CONVBN = 1e-3   # models/common.ConvBnAct BatchNorm epsilon
+BN_EPS_PAIR = 1e-5     # models/resnet.py (torchvision) BatchNorm epsilon
 
 
 def _is_convbn(sub) -> bool:
@@ -48,14 +65,25 @@ def _is_convbn(sub) -> bool:
             and isinstance(sub["conv"], dict) and "kernel" in sub["conv"])
 
 
+def _is_pair(p: Dict, k: str) -> bool:
+    """ResNet-style sibling layout: conv params at ``k``, BN partner at
+    ``k.replace("conv", "bn")`` in the same module."""
+    partner = k.replace("conv", "bn")
+    return ("conv" in k and k != "conv" and partner != k
+            and isinstance(p.get(k), dict) and "kernel" in p[k]
+            and isinstance(p.get(partner), dict) and "scale" in p[partner])
+
+
 def calibrate_amax(model, variables, batches: Iterable[np.ndarray], *,
                    normalize: bool = True) -> Dict[str, Any]:
     """Run calibration batches through the float model; return the tree of
-    per-ConvBnAct input abs-max values (host numpy, module-path nested).
+    per-conv input ``[amax, p999]`` stats (host numpy, module-path nested).
 
     ``batches`` yields (B,S,S,3) images in the SERVING input convention:
     raw 0-255 when ``normalize`` (the serve step owns /255), else already
-    scaled. Static activation scales come from the max over all batches.
+    scaled. Static activation scales come from the elementwise max over
+    all batches (p999-of-batch maxed across batches is a conservative
+    estimate of the global 99.9th percentile).
     """
     @jax.jit
     def _one(v, im):
@@ -75,17 +103,23 @@ def calibrate_amax(model, variables, batches: Iterable[np.ndarray], *,
     return amax
 
 
-def _quant_one(convbn: Dict[str, Any], bstats: Dict[str, Any],
-               in_amax: float) -> Optional[Dict[str, jnp.ndarray]]:
-    kernel = np.asarray(convbn["conv"]["kernel"], np.float32)  # (k,k,ci,co)
-    gamma = np.asarray(convbn["bn"]["scale"], np.float32)
-    beta = np.asarray(convbn["bn"]["bias"], np.float32)
-    mean = np.asarray(bstats["bn"]["mean"], np.float32)
-    var = np.asarray(bstats["bn"]["var"], np.float32)
-    g = gamma / np.sqrt(var + BN_EPS)
+def _act_scale(stats, act_clip: str) -> Tuple[float, float, float]:
+    """(s_in numerator, amax, p999) from a sown stats entry. Accepts the
+    legacy scalar-amax form (cached trees from earlier rounds)."""
+    s = np.asarray(stats, np.float32).reshape(-1)
+    amax = float(s[0])
+    p999 = float(s[1]) if s.size > 1 else amax
+    return (p999 if act_clip == "p999" else amax), amax, p999
+
+
+def _quant_one(kernel, gamma, beta, mean, var, eps: float,
+               in_val: float) -> Optional[Dict[str, jnp.ndarray]]:
+    kernel = np.asarray(kernel, np.float32)        # (k,k,ci,co)
+    g = np.asarray(gamma, np.float32) / np.sqrt(
+        np.asarray(var, np.float32) + eps)
     w = kernel * g                          # fold BN scale into the conv
-    bias = beta - mean * g
-    s_in = float(in_amax) / 127.0
+    bias = np.asarray(beta, np.float32) - np.asarray(mean, np.float32) * g
+    s_in = in_val / 127.0
     if s_in <= 0.0:                         # conv never saw data — skip
         return None
     s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0   # per-out-channel
@@ -100,12 +134,30 @@ def _quant_one(convbn: Dict[str, Any], bstats: Dict[str, Any],
 
 
 def build_quant_tree(variables, amax_tree: Dict[str, Any], *,
-                     skip: Sequence[str] = ()) -> Dict[str, Any]:
-    """Fold+quantize every calibrated ConvBnAct into a "quant" collection
+                     skip: Sequence[str] = (),
+                     act_clip: str = "p999") -> Dict[str, Any]:
+    """Fold+quantize every calibrated conv+BN into a "quant" collection
     mirroring the params tree's module paths. ``skip`` holds '/'-joined
-    path prefixes to leave in float (e.g. "backbone/stem")."""
+    path prefixes to leave in float (e.g. "backbone/stem").
+
+    ``act_clip``: "p999" (default — clip activations at the calibrated
+    99.9th percentile) or "amax" (plain abs-max). Logs the quantized /
+    skipped counts and flags outlier layers (amax >> p999) so a silent
+    path-mismatch regression or a scale-crushing layer is visible.
+    """
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
+    logger = get_logger()
+    counts = {"quantized": 0, "skip_list": 0, "uncalibrated": 0}
+    outliers = []
+
+    def _emit(dotted: str, q, amax: float, p999: float):
+        counts["quantized"] += 1
+        ratio = amax / max(p999, 1e-12)
+        logger.debug("int8 %s: s_in=%.5g (amax=%.4g p999=%.4g)", dotted,
+                     1.0 / float(q["inv_in_scale"]), amax, p999)
+        if ratio > 2.0:
+            outliers.append((dotted, ratio))
 
     def _walk(p, b, a, path: Tuple[str, ...]):
         out = {}
@@ -115,37 +167,108 @@ def build_quant_tree(variables, amax_tree: Dict[str, Any], *,
             if _is_convbn(sub):
                 if any(dotted == s or dotted.startswith(s + "/")
                        for s in skip):
+                    counts["skip_list"] += 1
                     continue
                 if not (isinstance(a, dict) and k in a
                         and isinstance(b, dict) and k in b):
+                    counts["uncalibrated"] += 1
                     continue        # never calibrated (e.g. unused branch)
-                q = _quant_one(sub, b[k], np.asarray(a[k]["in_amax"]))
-                if q is not None:
+                in_val, amax, p999 = _act_scale(a[k]["in_amax"], act_clip)
+                q = _quant_one(sub["conv"]["kernel"], sub["bn"]["scale"],
+                               sub["bn"]["bias"], b[k]["bn"]["mean"],
+                               b[k]["bn"]["var"], BN_EPS_CONVBN, in_val)
+                if q is None:
+                    counts["uncalibrated"] += 1
+                else:
                     out[k] = q
-            elif isinstance(sub, dict):
+                    _emit(dotted, q, amax, p999)
+            elif _is_pair(p, k):
+                partner = k.replace("conv", "bn")
+                if any(dotted == s or dotted.startswith(s + "/")
+                       for s in skip):
+                    counts["skip_list"] += 1
+                    continue
+                sk = k + "_in_amax"
+                if not (isinstance(a, dict) and sk in a
+                        and isinstance(b, dict) and partner in b):
+                    counts["uncalibrated"] += 1
+                    continue
+                in_val, amax, p999 = _act_scale(a[sk], act_clip)
+                q = _quant_one(sub["kernel"], p[partner]["scale"],
+                               p[partner]["bias"], b[partner]["mean"],
+                               b[partner]["var"], BN_EPS_PAIR, in_val)
+                if q is None:
+                    counts["uncalibrated"] += 1
+                else:
+                    for qk, qv in q.items():
+                        out[f"{k}_{qk}"] = qv
+                    _emit(dotted, q, amax, p999)
+            elif isinstance(sub, dict) and "kernel" not in sub:
                 w = _walk(sub, b.get(k, {}) if isinstance(b, dict) else {},
                           a.get(k, {}) if isinstance(a, dict) else {}, cur)
                 if w:
                     out[k] = w
         return out
 
-    return _walk(params, bstats, amax_tree, ())
+    tree = _walk(params, bstats, amax_tree, ())
+    logger.info(
+        "int8 PTQ: quantized %d convs (%d on skip list, %d uncalibrated, "
+        "act_clip=%s)", counts["quantized"], counts["skip_list"],
+        counts["uncalibrated"], act_clip)
+    if counts["quantized"] == 0:
+        logger.warning("int8 PTQ produced an EMPTY quant tree — the model "
+                       "will silently serve float (path mismatch between "
+                       "calibration stats and params?)")
+    elif counts["uncalibrated"] > counts["quantized"]:
+        logger.warning(
+            "int8 PTQ: more convs uncalibrated (%d) than quantized (%d) — "
+            "check that calibration ran through the same forward path",
+            counts["uncalibrated"], counts["quantized"])
+    for dotted, ratio in outliers:
+        logger.info("int8 PTQ outlier layer %s: amax/p999=%.1f "
+                    "(p999 clip is protecting its resolution)",
+                    dotted, ratio)
+    return tree
+
+
+def _batched(calib_images, batch_size: int):
+    if isinstance(calib_images, np.ndarray) or hasattr(calib_images, "shape"):
+        arr = np.asarray(calib_images)
+        return [arr[i:i + batch_size]
+                for i in range(0, arr.shape[0], batch_size)]
+    return calib_images
 
 
 def quantize_yolo(model, variables, calib_images, *, normalize: bool = True,
                   batch_size: int = 8,
-                  skip: Sequence[str] = ("backbone/stem",)
-                  ) -> Dict[str, Any]:
+                  skip: Sequence[str] = ("backbone/stem",),
+                  act_clip: str = "p999") -> Dict[str, Any]:
     """One-call PTQ for a YOLOv5-family model: calibrate activation scales
     on ``calib_images`` ((N,S,S,3) uint8 array or an iterable of batches),
     then fold+quantize every backbone/neck ConvBnAct. Returns the "quant"
     tree for ``make_packed_serve_step(..., quant=...)`` /
     ``model.apply({**variables, "quant": qtree}, ...)``."""
-    if isinstance(calib_images, np.ndarray) or hasattr(calib_images, "shape"):
-        arr = np.asarray(calib_images)
-        batches = [arr[i:i + batch_size]
-                   for i in range(0, arr.shape[0], batch_size)]
-    else:
-        batches = calib_images
-    amax = calibrate_amax(model, variables, batches, normalize=normalize)
-    return build_quant_tree(variables, amax, skip=skip)
+    amax = calibrate_amax(model, variables, _batched(calib_images,
+                                                     batch_size),
+                          normalize=normalize)
+    return build_quant_tree(variables, amax, skip=skip, act_clip=act_clip)
+
+
+def quantize_rcnn(model, variables, calib_images, *, normalize: bool = True,
+                  batch_size: int = 4,
+                  skip: Sequence[str] = ("backbone/stem_conv",),
+                  act_clip: str = "p999") -> Dict[str, Any]:
+    """One-call PTQ for a FasterRCNN model: calibrate through the default
+    forward (backbone -> neck -> RPN maps), then fold+quantize the
+    backbone's conv+BN pairs and the neck's ConvBnActs. The RPN conv and
+    the box head stay float (no BN to fold; precision-sensitive logits).
+
+    The two-stage family's ideal PTQ case: ``backbone_norm_eval=True``
+    (configs/base.py) keeps BN affine at train AND serve, so the fold is
+    exact against the checkpoint's running stats. Convs are ~60-65% of the
+    RCNN step (PERF_NOTES.md) — the int8 MXU path halves that portion.
+    """
+    amax = calibrate_amax(model, variables, _batched(calib_images,
+                                                     batch_size),
+                          normalize=normalize)
+    return build_quant_tree(variables, amax, skip=skip, act_clip=act_clip)

@@ -132,6 +132,94 @@ def test_packed_serve_step_int8():
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
+def test_act_clip_p999_resists_outlier():
+    """One activation outlier in the calibration data must not crush the
+    quantization resolution for the whole tensor (the abs-max PTQ failure
+    mode): the p999 clip keeps s_in near the bulk distribution's scale
+    while plain amax follows the outlier."""
+    from heltondetection_tpu.ops.quant import _act_scale
+    model = _OneConv()
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1.0, (2, 16, 16, 8)).astype(np.float32)
+    x[0, 0, 0, 0] = 500.0                      # a single wild outlier
+    x = jnp.asarray(x)
+    variables = _realistic_variables(model, x)
+    amax = calibrate_amax(model, variables, [x], normalize=False)
+    stats = amax["c"]["in_amax"]
+    v999, v_amax, v_p999 = _act_scale(stats, "p999")
+    v_max, _, _ = _act_scale(stats, "amax")
+    assert v_max == pytest.approx(500.0, rel=1e-3)
+    assert v999 < 10.0                         # bulk scale, outlier clipped
+    # and on CLEAN inputs (the outlier lived only in the calibration set)
+    # the p999 scales track float far better — amax wasted the int8 range
+    # on a value that never recurs
+    q999 = build_quant_tree(variables, amax, act_clip="p999")
+    qmax = build_quant_tree(variables, amax, act_clip="amax")
+    x_clean = jnp.asarray(rng.normal(0, 1.0, (2, 16, 16, 8)), jnp.float32)
+    y_f = np.asarray(model.apply(variables, x_clean, train=False),
+                     np.float32)
+
+    def rel(q):
+        y = np.asarray(model.apply({**variables, "quant": q}, x_clean,
+                                   train=False), np.float32)
+        return np.linalg.norm(y - y_f) / np.linalg.norm(y_f)
+    assert rel(q999) < rel(qmax) / 3
+
+
+def test_resnet_pair_int8_close():
+    """The ResNet sibling conv/bn layout quantizes through the same hook:
+    a Bottleneck block's int8 output tracks float within a few percent."""
+    from heltondetection_tpu.models.resnet import Bottleneck
+    model = Bottleneck(features=8, downsample=True)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(np.abs(rng.normal(0, 1.0, (2, 16, 16, 16))), jnp.float32)
+    variables = _realistic_variables(model, x)
+    amax = calibrate_amax(model, variables, [x], normalize=False)
+    q = build_quant_tree(variables, amax)
+    # flat prefixed entries beside the submodule scopes
+    assert {"conv1_w_q", "conv2_w_q", "conv3_w_q", "ds_conv_w_q"} <= set(q)
+    assert q["conv1_w_q"].dtype == jnp.int8
+    y_f = np.asarray(model.apply(variables, x, train=False), np.float32)
+    y_q = np.asarray(model.apply({**variables, "quant": q}, x, train=False),
+                     np.float32)
+    rel = np.linalg.norm(y_f - y_q) / max(np.linalg.norm(y_f), 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantize_rcnn_end_to_end():
+    """quantize_rcnn covers the backbone (sibling pairs) + neck
+    (ConvBnActs), skips the stem, and faster_rcnn_infer keeps its det
+    contract under the quant collection."""
+    from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
+                                                        RCNNConfig,
+                                                        faster_rcnn_infer,
+                                                        init_faster_rcnn)
+    from heltondetection_tpu.ops.quant import quantize_rcnn
+    cfg = RCNNConfig(num_classes=4, img_size=128, rpn_pre_nms_topk=64,
+                     rpn_post_nms_topk=64, rpn_batch=32, box_batch=32,
+                     max_det=16, max_gt=8, backbone="resnet18")
+    model = FasterRCNN(cfg)
+    variables = init_faster_rcnn(model, jax.random.PRNGKey(0), cfg.img_size)
+    rng = np.random.default_rng(7)
+    calib = rng.integers(0, 255, (4, 128, 128, 3)).astype(np.uint8)
+    q = quantize_rcnn(model, variables, calib)
+    bb = q["backbone"]
+    assert "stem_conv_w_q" not in bb            # skipped (3-ch stem)
+    assert any(k.startswith("layer") for k in bb)   # blocks quantized
+    n_wq = sum(1 for p, _ in jax.tree_util.tree_leaves_with_path(q)
+               if p[-1].key.endswith("w_q"))
+    assert n_wq > 15                            # resnet18: 20 convs + neck
+    im = jnp.asarray(rng.integers(0, 255, (1, 128, 128, 3)),
+                     jnp.float32) / 255.0
+    ob, os_, oc, ov = faster_rcnn_infer(model, {**variables, "quant": q},
+                                        im, cfg)
+    assert ob.shape == (1, cfg.max_det, 4)
+    assert np.isfinite(np.asarray(ob, np.float32)).all()
+    v = np.asarray(ov, bool)
+    cls = np.asarray(oc)[v]
+    assert ((cls >= 0) & (cls < cfg.num_classes)).all()
+
+
 def test_uncalibrated_variables_float_fallback():
     """Without a quant collection the model is bit-identical to before the
     feature (the quant branch is keyed purely on collection presence)."""
