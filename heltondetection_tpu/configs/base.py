@@ -154,6 +154,10 @@ class TestConfig:
     save_heatmaps: bool = False       # demo-style per-level panels
     int8: bool = False                # W8A8 PTQ serving (ops/quant.py):
     # backbone/neck convs on the MXU's 2x int8 path; calibrated on val
+    int8_mode: str = "layer"          # "layer" = per-conv W8A8, activations
+    # bf16 between convs (byte-neutral — measured ~1.00x, PERF_NOTES);
+    # "flow" = int8 activation flow (yolov5 only): activations stored int8
+    # between convs, halving the HBM traffic the models are bound by
     int8_calib: int = 32              # calibration images (from the val set)
     int8_calib_dir: Optional[str] = None   # calibrate on this directory of
     # images instead of the val split (pure-inference hosts); the quant

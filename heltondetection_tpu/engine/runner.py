@@ -223,7 +223,13 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
     fused = cfg.model.family == "yolov5" and getattr(cfg.eval, "fused", True)
     if _reuse is not None:
         # persistent jitted (variables, images) step: partial-bind this
-        # eval's variables; jax.jit caches on the underlying fn identity
+        # eval's variables; jax.jit caches on the underlying fn identity.
+        # eval.int8 is deliberately ignored here: in-loop eval scores the
+        # float weights (recalibrating PTQ per epoch would cost more than
+        # the eval itself)
+        if getattr(cfg.eval, "int8", False) and "int8_note" not in _reuse:
+            _reuse["int8_note"] = True
+            logger.info("eval.int8 ignored for in-training eval (float)")
         import functools
         jfn = _reuse.get("jfn")
         if jfn is None:
@@ -1015,8 +1021,14 @@ def _int8_quant_tree(cfg, model, variables):
     skip the calibrate+fold pass (deterministic for a given ckpt+calib
     set)."""
     from heltondetection_tpu.data.augment import letterbox_np
-    from heltondetection_tpu.ops.quant import quantize_rcnn, quantize_yolo
+    from heltondetection_tpu.ops.quant import (quantize_rcnn, quantize_yolo,
+                                               quantize_yolo_flow)
     logger = get_logger()
+    mode = getattr(cfg.test, "int8_mode", "layer")
+    if mode == "flow" and cfg.model.family != "yolov5":
+        logger.warning("test.int8_mode='flow' is yolov5-only — using the "
+                       "per-layer W8A8 mode for %s", cfg.model.family)
+        mode = "layer"
     n_want = int(getattr(cfg.test, "int8_calib", 32))
     calib_dir = getattr(cfg.test, "int8_calib_dir", None)
     no_boxes = np.zeros((0, 4), np.float32)
@@ -1030,7 +1042,7 @@ def _int8_quant_tree(cfg, model, variables):
         if not files:
             raise ValueError(
                 f"test.int8_calib_dir={calib_dir!r} holds no images")
-        calib_id = f"dir:{calib_dir}:{len(files)}"
+        calib_id = f"{mode}:dir:{calib_dir}:{len(files)}"
         load = lambda i: imread_rgb(files[i])
         n = len(files)
     else:
@@ -1040,7 +1052,7 @@ def _int8_quant_tree(cfg, model, variables):
             raise ValueError(
                 "test.int8 needs a non-empty val set (or "
                 "test.int8_calib_dir) to calibrate")
-        calib_id = f"val:{n}"
+        calib_id = f"{mode}:val:{n}"
         load = lambda i: ds.load(i)["image"]
 
     cache_path = os.path.join(cfg.work_dir, cfg.name, "int8_quant.npz")
@@ -1072,8 +1084,12 @@ def _int8_quant_tree(cfg, model, variables):
     imgs = [letterbox_np(load(i), no_boxes, cfg.model.img_size)[0]
             for i in range(n)]
     logger.info("int8 PTQ: calibrating on %d images (%s)", n, calib_id)
-    quantize = (quantize_yolo if cfg.model.family == "yolov5"
-                else quantize_rcnn)
+    if cfg.model.family != "yolov5":
+        quantize = quantize_rcnn
+    elif mode == "flow":
+        quantize = quantize_yolo_flow
+    else:
+        quantize = quantize_yolo
     tree = quantize(model, variables, np.stack(imgs).astype(np.uint8))
     try:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)

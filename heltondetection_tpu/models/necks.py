@@ -13,8 +13,8 @@ from typing import Any, List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from heltondetection_tpu.models.common import (C3, ConvBnAct, depth, scaled,
-                                               upsample2x)
+from heltondetection_tpu.models.common import (C3, ConvBnAct, depth, q_cat,
+                                               scaled, upsample2x)
 
 
 class PAFPNv5(nn.Module):
@@ -32,22 +32,23 @@ class PAFPNv5(nn.Module):
         c3, c4, c5 = feats
         w, d = self.width_multiple, self.depth_multiple
         dt = self.dtype
-        # top-down
+        # top-down (q_cat keeps the int8-flow serving mode's activations
+        # int8 through the concats — a plain jnp.concatenate otherwise)
         lat5 = ConvBnAct(scaled(512, w), 1, dtype=dt, name="lat5")(c5, train)
-        x = jnp.concatenate([upsample2x(lat5), c4], axis=-1)
+        x = q_cat([upsample2x(lat5), c4], axis=-1)
         t4 = C3(scaled(512, w), depth(3, d), shortcut=False, dtype=dt,
                 name="td4")(x, train)
         lat4 = ConvBnAct(scaled(256, w), 1, dtype=dt, name="lat4")(t4, train)
-        x = jnp.concatenate([upsample2x(lat4), c3], axis=-1)
+        x = q_cat([upsample2x(lat4), c3], axis=-1)
         p3 = C3(scaled(256, w), depth(3, d), shortcut=False, dtype=dt,
                 name="td3")(x, train)
         # bottom-up
         x = ConvBnAct(scaled(256, w), 3, 2, dtype=dt, name="bu3")(p3, train)
-        x = jnp.concatenate([x, lat4], axis=-1)
+        x = q_cat([x, lat4], axis=-1)
         p4 = C3(scaled(512, w), depth(3, d), shortcut=False, dtype=dt,
                 name="bu4")(x, train)
         x = ConvBnAct(scaled(512, w), 3, 2, dtype=dt, name="bu5")(p4, train)
-        x = jnp.concatenate([x, lat5], axis=-1)
+        x = q_cat([x, lat5], axis=-1)
         p5 = C3(scaled(1024, w), depth(3, d), shortcut=False, dtype=dt,
                 name="bu6")(x, train)
         return p3, p4, p5

@@ -104,12 +104,27 @@ def calibrate_amax(model, variables, batches: Iterable[np.ndarray], *,
 
 
 def _act_scale(stats, act_clip: str) -> Tuple[float, float, float]:
-    """(s_in numerator, amax, p999) from a sown stats entry. Accepts the
-    legacy scalar-amax form (cached trees from earlier rounds)."""
-    s = np.asarray(stats, np.float32).reshape(-1)
-    amax = float(s[0])
-    p999 = float(s[1]) if s.size > 1 else amax
+    """(s_in numerator, amax, p999) PER TENSOR from a sown stats entry
+    (``models.common._act_stats`` emits (2, C) = [amax_c, p999_c]; the
+    per-layer mode reduces with a channel max). Accepts the legacy
+    scalar / (2,) forms (cached trees from earlier rounds)."""
+    s = np.asarray(stats, np.float32)
+    if s.ndim >= 1 and s.shape[0] == 2:
+        s = s.reshape(2, -1)
+        amax, p999 = float(s[0].max()), float(s[1].max())
+    else:
+        amax = p999 = float(s.max())
     return (p999 if act_clip == "p999" else amax), amax, p999
+
+
+def _act_scale_vec(stats, act_clip: str) -> np.ndarray:
+    """Per-CHANNEL scale vector (C,) = clip_value_c / 127 for the
+    int8-flow mode."""
+    s = np.asarray(stats, np.float32).reshape(2, -1)
+    v = s[1] if act_clip == "p999" else s[0]
+    v = np.where(v > 0, v, s[0])        # dead-channel guard: fall back
+    v = np.where(v > 0, v, 1.0)         # to amax, then to 1.0
+    return (v / 127.0).astype(np.float32)
 
 
 def _quant_one(kernel, gamma, beta, mean, var, eps: float,
@@ -252,6 +267,108 @@ def quantize_yolo(model, variables, calib_images, *, normalize: bool = True,
                                                      batch_size),
                           normalize=normalize)
     return build_quant_tree(variables, amax, skip=skip, act_clip=act_clip)
+
+
+# Head-boundary convs of the YOLOv5 PAFPN: their outputs feed the detect
+# head (float, precision-sensitive), so the flow mode emits them float
+# instead of paying a requant+dequant round trip at the boundary.
+YOLO_FLOW_FLOAT_OUT = ("neck/td3/cv3", "neck/bu4/cv3", "neck/bu6/cv3")
+
+
+def build_flow_tree(variables, amax_tree: Dict[str, Any], *,
+                    skip: Sequence[str] = (),
+                    float_out: Sequence[str] = (),
+                    act_clip: str = "p999") -> Dict[str, Any]:
+    """Build the int8 ACTIVATION-FLOW "quant" collection (ConvBnAct
+    modules only — the YOLO family's building block).
+
+    Unlike :func:`build_quant_tree` (per-layer W8A8: activations stay
+    bf16 between convs — measured byte-neutral end to end, PERF_NOTES),
+    the flow tree makes every quantized conv EMIT int8: activations live
+    in HBM at 1 byte/element, halving the traffic the composed models are
+    actually bound by. Per conv the tree stores the BN-folded FLOAT
+    weights (``w_f``), ``bias``, a per-channel ``in_scale`` (used only at
+    the float→int8 boundary), and a per-channel ``out_scale`` (omitted
+    for ``float_out`` paths, which then emit float for the head). The
+    consumer folds its input QT's per-channel scales into ``w_f`` at
+    trace time and quantizes per output channel — XLA constant-folds the
+    whole fold when the variables are closed over (the serve path), so
+    the runtime cost is zero. Residual adds requantize with their own
+    calibrated ``res_scale``.
+    """
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    logger = get_logger()
+    n_q, n_float_out = 0, 0
+
+    def _walk(p, b, a, path: Tuple[str, ...]):
+        nonlocal n_q, n_float_out
+        out = {}
+        if isinstance(a, dict) and "res_amax" in a:
+            out["res_scale"] = jnp.asarray(
+                _act_scale_vec(a["res_amax"], act_clip))
+        for k, sub in p.items():
+            cur = path + (k,)
+            dotted = "/".join(cur)
+            if _is_convbn(sub):
+                if any(dotted == s or dotted.startswith(s + "/")
+                       for s in skip):
+                    continue
+                if not (isinstance(a, dict) and k in a
+                        and "in_amax" in a[k]
+                        and isinstance(b, dict) and k in b):
+                    continue
+                kernel = np.asarray(sub["conv"]["kernel"], np.float32)
+                g = np.asarray(sub["bn"]["scale"], np.float32) / np.sqrt(
+                    np.asarray(b[k]["bn"]["var"], np.float32)
+                    + BN_EPS_CONVBN)
+                w_f = kernel * g
+                bias = (np.asarray(sub["bn"]["bias"], np.float32)
+                        - np.asarray(b[k]["bn"]["mean"], np.float32) * g)
+                entry = {
+                    "w_f": jnp.asarray(w_f),
+                    "bias": jnp.asarray(bias),
+                    "in_scale": jnp.asarray(
+                        _act_scale_vec(a[k]["in_amax"], act_clip)),
+                }
+                is_float_out = any(dotted == s for s in float_out)
+                if not is_float_out and "out_amax" in a[k]:
+                    entry["out_scale"] = jnp.asarray(
+                        _act_scale_vec(a[k]["out_amax"], act_clip))
+                else:
+                    n_float_out += 1
+                out[k] = entry
+                n_q += 1
+            elif isinstance(sub, dict) and "kernel" not in sub:
+                w = _walk(sub, b.get(k, {}) if isinstance(b, dict) else {},
+                          a.get(k, {}) if isinstance(a, dict) else {}, cur)
+                if w:
+                    out[k] = w
+        return out
+
+    tree = _walk(params, bstats, amax_tree, ())
+    logger.info("int8 flow PTQ: %d convs in the int8 stream "
+                "(%d emit float at the head boundary, act_clip=%s)",
+                n_q, n_float_out, act_clip)
+    if n_q == 0:
+        logger.warning("int8 flow PTQ produced an EMPTY tree — the model "
+                       "will silently serve float")
+    return tree
+
+
+def quantize_yolo_flow(model, variables, calib_images, *,
+                       normalize: bool = True, batch_size: int = 8,
+                       skip: Sequence[str] = ("backbone/stem",),
+                       float_out: Sequence[str] = YOLO_FLOW_FLOAT_OUT,
+                       act_clip: str = "p999") -> Dict[str, Any]:
+    """One-call int8-ACTIVATION-FLOW PTQ for a YOLOv5-family model: the
+    throughput-oriented sibling of :func:`quantize_yolo` (same calibration
+    pass, different execution strategy — see :func:`build_flow_tree`)."""
+    amax = calibrate_amax(model, variables, _batched(calib_images,
+                                                     batch_size),
+                          normalize=normalize)
+    return build_flow_tree(variables, amax, skip=skip, float_out=float_out,
+                           act_clip=act_clip)
 
 
 def quantize_rcnn(model, variables, calib_images, *, normalize: bool = True,

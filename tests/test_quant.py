@@ -220,6 +220,113 @@ def test_quantize_rcnn_end_to_end():
     assert ((cls >= 0) & (cls < cfg.num_classes)).all()
 
 
+def test_yolo_int8_flow_outputs_close():
+    """int8 ACTIVATION-FLOW mode (activations stored int8 between convs,
+    per-channel scale folding at concats/residuals): raw head logits stay
+    within a modest relative error of float end to end, and the head
+    boundary receives float (the float_out contract)."""
+    from heltondetection_tpu.ops.quant import quantize_yolo_flow
+    nc, S = 7, 64
+    model = build_yolov5("n", num_classes=nc)
+    variables = _realistic_variables(model, jnp.zeros((1, S, S, 3)))
+    rng = np.random.default_rng(8)
+    calib = rng.integers(0, 255, (8, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo_flow(model, variables, calib)
+    # backbone C3 bottlenecks requant their residuals; neck C3s (no
+    # shortcut) must not carry res scales
+    assert "res_scale" in q["backbone"]["c3_1"]["m0"]
+    assert all("res_scale" not in q["neck"][k] for k in q["neck"]
+               if k.startswith(("td", "bu")) and isinstance(q["neck"][k],
+                                                            dict))
+    # head-boundary convs emit float: no out_scale stored
+    for name in ("td3", "bu4", "bu6"):
+        assert "out_scale" not in q["neck"][name]["cv3"]
+        assert "w_f" in q["neck"][name]["cv3"]
+    im = jnp.asarray(rng.integers(0, 255, (2, S, S, 3)), jnp.float32) / 255.0
+    raw_f = model.apply(variables, im, train=False)
+    raw_q = model.apply({**variables, "quant": q}, im, train=False)
+    for a, b in zip(raw_f, raw_q):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 0.2, rel
+
+
+@pytest.mark.smoke
+def test_packed_serve_step_int8_flow():
+    """The production serve step accepts the flow tree and keeps its
+    contract (shapes, finiteness, class range, determinism)."""
+    from heltondetection_tpu.engine.evaluator import make_packed_serve_step
+    from heltondetection_tpu.ops.quant import quantize_yolo_flow
+    nc, S = 7, 64
+    model = build_yolov5("n", num_classes=nc)
+    variables = _realistic_variables(model, jnp.zeros((1, S, S, 3)))
+    rng = np.random.default_rng(9)
+    calib = rng.integers(0, 255, (4, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo_flow(model, variables, calib)
+    step = jax.jit(make_packed_serve_step(model, variables, nc,
+                                          conf_thres=0.05, multi_label=False,
+                                          quant=q))
+    im = jnp.asarray(rng.integers(0, 255, (2, S, S, 3)), jnp.float32)
+    boxes, scores, classes, valid = step(im)
+    assert boxes.shape[0] == 2 and boxes.shape[-1] == 4
+    assert np.isfinite(np.asarray(boxes, np.float32)).all()
+    v = np.asarray(valid, bool)
+    cls = np.asarray(classes)[v]
+    assert ((cls >= 0) & (cls < nc)).all()
+    b2 = step(im)
+    for x1, x2 in zip((boxes, scores, classes, valid), b2):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+@pytest.mark.parametrize("mode", ["layer", "flow"])
+def test_run_eval_int8_reports_quantized_map(tmp_path, mode):
+    """eval.int8 (ADVICE r3 medium): --mode eval scores the SAME quantized
+    program serving runs, so the mAP cost of PTQ is measurable
+    in-framework — both int8 modes complete and report COCO stats, and
+    the quant tree gets cached beside the checkpoint."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import dataclasses as _dc
+
+    from synth_data import build_coco_dataset
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.engine.runner import build_model, run_eval
+
+    root = str(tmp_path)
+    ann, imgs = build_coco_dataset(root, n_images=4, hw=(96, 128),
+                                   num_classes=4)
+    cfg = ExperimentConfig(
+        name="tiny_eval_int8", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco", train_ann=ann, train_imgs=imgs,
+                        val_ann=ann, val_imgs=imgs, max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(epochs=1, batch_size=4, num_workers=0),
+        eval=EvalConfig(batch_size=4, conf_thres=0.05, max_det=32,
+                        int8=True),
+        test=TestConfig(int8_calib=4, int8_mode=mode))
+    model = build_model(cfg.model, 4)
+    variables = _realistic_variables(model, jnp.zeros((1, 64, 64, 3)))
+    stats = run_eval(cfg, variables=variables, model=model, verbose=False)
+    assert "AP" in stats and stats["AP"] >= 0.0
+    cache = os.path.join(root, "runs", "tiny_eval_int8", "int8_quant.npz")
+    assert os.path.exists(cache)
+    # second eval hits the cache (same fingerprint + calib id) and agrees
+    stats2 = run_eval(cfg, variables=variables, model=model, verbose=False)
+    assert stats2["AP"] == pytest.approx(stats["AP"], abs=1e-9)
+    # switching modes invalidates the cache (calib id embeds the mode)
+    other = "flow" if mode == "layer" else "layer"
+    cfg2 = _dc.replace(cfg, test=_dc.replace(cfg.test, int8_mode=other))
+    stats3 = run_eval(cfg2, variables=variables, model=model, verbose=False)
+    assert "AP" in stats3
+
+
 def test_uncalibrated_variables_float_fallback():
     """Without a quant collection the model is bit-identical to before the
     feature (the quant branch is keyed purely on collection presence)."""

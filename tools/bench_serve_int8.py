@@ -60,7 +60,8 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "s"
     from heltondetection_tpu.models.yolov5 import build_yolov5
     from heltondetection_tpu.engine.evaluator import make_packed_serve_step
-    from heltondetection_tpu.ops.quant import quantize_yolo
+    from heltondetection_tpu.ops.quant import quantize_yolo, \
+        quantize_yolo_flow
 
     nc = 80
     model = build_yolov5(variant, num_classes=nc, dtype=jnp.bfloat16)
@@ -72,8 +73,12 @@ def main():
     t0 = time.perf_counter()
     q = quantize_yolo(model, variables, calib)
     print(f"calibration+fold: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    qf = quantize_yolo_flow(model, variables, calib)
+    print(f"flow calibration+fold: {time.perf_counter() - t0:.1f}s",
+          flush=True)
 
-    for name, quant in (("bf16", None), ("int8", q)):
+    for name, quant in (("bf16", None), ("int8", q), ("int8flow", qf)):
         step = make_packed_serve_step(model, variables, nc, conf_thres=0.001,
                                       iou_thres=0.65, pre_nms_topk=1024,
                                       quant=quant)
