@@ -117,13 +117,26 @@ def _act_scale(stats, act_clip: str) -> Tuple[float, float, float]:
     return (p999 if act_clip == "p999" else amax), amax, p999
 
 
-def _act_scale_vec(stats, act_clip: str) -> np.ndarray:
-    """Per-CHANNEL scale vector (C,) = clip_value_c / 127 for the
-    int8-flow mode."""
+def _act_scale_vec(stats, act_clip: str, *,
+                   per_channel: bool = False) -> np.ndarray:
+    """Activation scale vector (C,) = clip_value / 127 for the int8-flow
+    mode.
+
+    Default is the PER-TENSOR value broadcast over channels: the flow
+    mode folds these scales into the consumer's weights per input
+    channel, and genuinely per-channel scales (often spanning orders of
+    magnitude — dead channels, BN spread) inflate the folded weights'
+    per-out-channel range so badly that small-scale channels' weights
+    quantize to zero. A broadcast scalar keeps the fold benign (scale
+    variation enters only blockwise at concat joins, bounded by the
+    ratio of the joined tensors' scales). ``per_channel=True`` keeps the
+    raw vector for experimentation."""
     s = np.asarray(stats, np.float32).reshape(2, -1)
     v = s[1] if act_clip == "p999" else s[0]
     v = np.where(v > 0, v, s[0])        # dead-channel guard: fall back
     v = np.where(v > 0, v, 1.0)         # to amax, then to 1.0
+    if not per_channel:
+        v = np.full_like(v, v.max())
     return (v / 127.0).astype(np.float32)
 
 
