@@ -416,6 +416,53 @@ def test_int8_ap_delta_on_trained_net(tmp_path):
             (mode, stats[mode])
 
 
+def test_load_detector_int8_detects(tmp_path):
+    """The user-facing serving entry (load_detector → Detector) under
+    test.int8: builds the quantized fused step via the cached quant tree
+    and detects on a real image end to end (letterbox → int8 serve →
+    inverse)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import dataclasses as _dc
+
+    from synth_data import build_coco_dataset
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.data.readers import imread_rgb
+    from heltondetection_tpu.engine.runner import (_make_detector,
+                                                   build_model)
+
+    root = str(tmp_path)
+    ann, imgs = build_coco_dataset(root, n_images=4, hw=(96, 128),
+                                   num_classes=4)
+    cfg = ExperimentConfig(
+        name="tiny_det_int8", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco", train_ann=ann, train_imgs=imgs,
+                        val_ann=ann, val_imgs=imgs, max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(), eval=EvalConfig(),
+        test=TestConfig(conf_thres=0.0, int8=True, int8_calib=4))
+    model = build_model(cfg.model, 4)
+    variables = _realistic_variables(model, jnp.zeros((1, 64, 64, 3)))
+    det = _make_detector(cfg, model, variables, 4)
+    img = imread_rgb(os.path.join(imgs, sorted(os.listdir(imgs))[0]))
+    boxes, scores, classes = det.detect_image(img)
+    assert boxes.shape[-1] == 4 and len(scores) == len(classes)
+    assert np.isfinite(boxes).all()
+    # calib-dir override: a fresh detector calibrated on raw images from
+    # disk (pure-inference hosts without the val split)
+    cfg2 = _dc.replace(cfg, test=_dc.replace(cfg.test,
+                                             int8_calib_dir=imgs))
+    det2 = _make_detector(cfg2, model, variables, 4)
+    b2, s2, c2 = det2.detect_image(img)
+    assert np.isfinite(b2).all()
+
+
 def test_uncalibrated_variables_float_fallback():
     """Without a quant collection the model is bit-identical to before the
     feature (the quant branch is keyed purely on collection presence)."""

@@ -7,6 +7,8 @@ object (also saved to BENCH_FULL_r*.json by the round workflow):
   yolo_train — YOLOv5s 640² packed train step img/s
   rcnn_infer — FasterRCNN-R50-FPN 832² infer img/s (+MFU)
   rcnn_train — FasterRCNN-R50-FPN 832² train img/s (+MFU)
+  serve_l_int8 — YOLOv5l 640² serve, bf16 vs W8A8 int8 (the MXU-bound
+                 regime where int8's double rate pays ~1.25×)
 
 Each path runs as a subprocess so one failure can't void the record.
 Usage: python tools/bench_full.py [out.json]   (~20 min: tunnel compiles)
@@ -76,6 +78,13 @@ def main():
         "ms_step": _grab(out, r"b8: ([\d.]+) ms/step"),
         "tflops": _grab(out, r"([\d.]+) TFLOP/s"),
         "mfu_pct": _grab(out, r"\(([\d.]+)% of v5e"),
+    } if "img/s" in out else {"error": out[-300:]}
+
+    out = _run(["tools/bench_serve_int8.py", "l"], timeout=2700)
+    rec["serve_l_int8"] = {
+        "bf16_img_s": _grab(out, r"b128 bf16:\s+([\d.]+) img/s"),
+        "int8_img_s": _grab(out, r"b128 int8:\s+([\d.]+) img/s"),
+        "int8flow_img_s": _grab(out, r"b128 int8flow:\s+([\d.]+) img/s"),
     } if "img/s" in out else {"error": out[-300:]}
 
     line = json.dumps(rec)

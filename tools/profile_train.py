@@ -1,6 +1,7 @@
-"""Capture a jax.profiler trace of the packed YOLOv5s train step.
+"""Capture a jax.profiler trace of the packed YOLOv5 train step.
 
-Usage: python tools/profile_train.py [batch] ; writes /tmp/jaxtrace_train.
+Usage: python tools/profile_train.py [batch] [variant=s] ; writes
+/tmp/jaxtrace_train.
 Parse with tools/xplane_top.py. Run from the repo root (the axon TPU
 plugin resolves only there).
 """
@@ -15,8 +16,9 @@ from heltondetection_tpu.train.trainer import create_train_state, make_train_ste
 from heltondetection_tpu.train.yolo_loss import YoloLossConfig
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+VARIANT = sys.argv[2] if len(sys.argv) > 2 else "s"
 S, nc, M = 640, 80, 128
-model = dataclasses.replace(build_yolov5("s", num_classes=nc,
+model = dataclasses.replace(build_yolov5(VARIANT, num_classes=nc,
                                          dtype=jnp.bfloat16),
                             packed_train=True)
 tx = make_optimizer(1e-3, total_steps=1000, warmup_steps=10)
