@@ -34,10 +34,15 @@ def load_serving_fn(path: str) -> Callable:
 def export_yolov5(model, variables, num_classes: int, img_size: int,
                   path: str, *, batch_size: int = 1,
                   conf_thres: float = 0.25, iou_thres: float = 0.45,
-                  max_det: int = 300, anchors=None) -> None:
+                  max_det: int = 300, anchors=None, quant=None) -> None:
     """One-stop YOLOv5 serving-graph export: uint8 image batch in →
     (boxes, scores, classes, valid) out, weights baked as constants
-    (mirrors the reference's ONNX graph which also embeds weights)."""
+    (mirrors the reference's ONNX graph which also embeds weights).
+    ``quant`` (ops/quant.py tree) bakes the W8A8 int8 program instead —
+    the deploy-time analog of the reference's half-precision ONNX
+    (README.md:23), one notch further."""
+    if quant is not None:
+        variables = {**variables, "quant": quant}
     from heltondetection_tpu.engine.evaluator import make_postprocess
     from heltondetection_tpu.models.yolov5 import decode_full
 
@@ -60,13 +65,16 @@ def export_yolov5(model, variables, num_classes: int, img_size: int,
 
 
 def export_faster_rcnn(model, variables, img_size: int, path: str, *,
-                       batch_size: int = 1) -> None:
+                       batch_size: int = 1, quant=None) -> None:
     """FasterRCNN serving-graph export: uint8 batch → (boxes, scores,
     classes, valid) fixed-shape dets, the same ``faster_rcnn_infer``
     pipeline the evaluator runs (RPN → RoIAlign → box head → class NMS).
     The reference scopes ONNX export to YOLOv5 only (README.md:23); the
     StableHLO path covers both families."""
     from heltondetection_tpu.models.faster_rcnn import faster_rcnn_infer
+
+    if quant is not None:
+        variables = {**variables, "quant": quant}
 
     def serve(images_u8):
         images = images_u8.astype(jnp.float32) / 255.0
@@ -77,15 +85,21 @@ def export_faster_rcnn(model, variables, img_size: int, path: str, *,
 
 
 def export_model(cfg, model, variables, path: str) -> None:
-    """Family dispatch for the CLI ``--mode export``."""
+    """Family dispatch for the CLI ``--mode export``. ``test.int8``
+    exports the QUANTIZED program (weights baked as int8 constants)."""
+    quant = None
+    if getattr(cfg.test, "int8", False):
+        from heltondetection_tpu.engine.runner import _int8_quant_tree
+        quant = _int8_quant_tree(cfg, model, variables)
     if cfg.model.family == "yolov5":
         from heltondetection_tpu.engine.runner import _cfg_anchors
         export_yolov5(model, variables, cfg.model.num_classes,
                       cfg.model.img_size, path,
                       conf_thres=cfg.test.conf_thres,
                       iou_thres=cfg.test.iou_thres,
-                      anchors=_cfg_anchors(cfg))
+                      anchors=_cfg_anchors(cfg), quant=quant)
     elif cfg.model.family == "faster_rcnn":
-        export_faster_rcnn(model, variables, cfg.model.img_size, path)
+        export_faster_rcnn(model, variables, cfg.model.img_size, path,
+                           quant=quant)
     else:
         raise ValueError(f"no export path for family {cfg.model.family!r}")

@@ -463,6 +463,41 @@ def test_load_detector_int8_detects(tmp_path):
     assert np.isfinite(b2).all()
 
 
+def test_export_int8_round_trip(tmp_path):
+    """--mode export with test.int8 serializes the QUANTIZED StableHLO
+    program (int8 weights baked as constants) and the reloaded graph
+    matches the live quantized step (to re-compile fusion-order noise,
+    ~5e-5 on box pixels)."""
+    from heltondetection_tpu.engine.export import (export_yolov5,
+                                                   load_serving_fn)
+    from heltondetection_tpu.engine.evaluator import make_postprocess
+    from heltondetection_tpu.models.yolov5 import decode_full
+    from heltondetection_tpu.ops.quant import quantize_yolo
+
+    nc, S = 4, 64
+    model = build_yolov5("n", num_classes=nc)
+    variables = _realistic_variables(model, jnp.zeros((1, S, S, 3)))
+    rng = np.random.default_rng(31)
+    calib = rng.integers(0, 255, (4, S, S, 3)).astype(np.uint8)
+    q = quantize_yolo(model, variables, calib)
+    path = str(tmp_path / "int8.stablehlo")
+    export_yolov5(model, variables, nc, S, path, conf_thres=0.05,
+                  quant=q)
+    served = load_serving_fn(path)
+    im = jnp.asarray(rng.integers(0, 255, (1, S, S, 3)), jnp.uint8)
+    got = served(im)
+
+    post = make_postprocess(nc, conf_thres=0.05, iou_thres=0.45,
+                            max_det=300, multi_label=False)
+    live = post(*decode_full(model.apply(
+        {**variables, "quant": q}, im.astype(jnp.float32) / 255.0,
+        train=False), nc))
+    for g, l in zip(got, live):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(l, np.float32),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_uncalibrated_variables_float_fallback():
     """Without a quant collection the model is bit-identical to before the
     feature (the quant branch is keyed purely on collection presence)."""
