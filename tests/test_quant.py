@@ -140,7 +140,10 @@ def test_act_clip_p999_resists_outlier():
     from heltondetection_tpu.ops.quant import _act_scale
     model = _OneConv()
     rng = np.random.default_rng(5)
-    x = rng.normal(0, 1.0, (2, 16, 16, 8)).astype(np.float32)
+    # stats are per-channel (2, C): the 99.9th percentile needs >>1000
+    # samples per channel to exclude a single outlier (production tensors
+    # have 100k+; 64x64x2 = 8192 here)
+    x = rng.normal(0, 1.0, (2, 64, 64, 8)).astype(np.float32)
     x[0, 0, 0, 0] = 500.0                      # a single wild outlier
     x = jnp.asarray(x)
     variables = _realistic_variables(model, x)
