@@ -128,6 +128,11 @@ class YOLOv5(nn.Module):
         neck = PAFPNv5(self.depth_multiple, self.width_multiple,
                        dtype=self.dtype, name="neck")
         feats = neck(backbone(x, train)[-3:], train)
+        # int8-flow boundary guard: the quant tree's float_out defaults
+        # make the last neck convs emit float, but a custom tree without
+        # them must still reach the (float, precision-sensitive) head
+        from heltondetection_tpu.models.common import q_dequant
+        feats = [q_dequant(f, self.dtype) for f in feats]
         a = self.num_anchors
         outs = []
         if self.packed_head:
