@@ -30,6 +30,10 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--iou", type=float, default=0.65)
+    p.add_argument("--int8", choices=["layer", "flow"], default=None,
+                   help="also quantize (W8A8 PTQ, ops/quant.py) and score "
+                        "the quantized program — the real-weights mAP "
+                        "delta measurement for the int8 serving path")
     args = p.parse_args()
 
     from heltondetection_tpu.data.augment import EvalPipeline
@@ -46,6 +50,20 @@ def main():
     ds = COCODataset(args.ann, args.imgs)
 
     import jax.numpy as jnp
+
+    if args.int8:
+        import numpy as np
+        from heltondetection_tpu.data.augment import letterbox_np
+        from heltondetection_tpu.ops.quant import (quantize_yolo,
+                                                   quantize_yolo_flow)
+        nb = np.zeros((0, 4), np.float32)
+        calib = np.stack([
+            letterbox_np(ds.load(i)["image"], nb, args.img_size)[0]
+            for i in range(min(32, len(ds)))]).astype(np.uint8)
+        quantize = (quantize_yolo_flow if args.int8 == "flow"
+                    else quantize_yolo)
+        variables = {**variables,
+                     "quant": quantize(model, variables, calib)}
 
     def fwd(images):
         images = images.astype(jnp.float32) / 255.0
