@@ -1025,6 +1025,9 @@ def _int8_quant_tree(cfg, model, variables):
                                                quantize_yolo_flow)
     logger = get_logger()
     mode = getattr(cfg.test, "int8_mode", "layer")
+    if mode not in ("layer", "flow"):
+        raise ValueError(
+            f"test.int8_mode={mode!r} — expected 'layer' or 'flow'")
     if mode == "flow" and cfg.model.family != "yolov5":
         logger.warning("test.int8_mode='flow' is yolov5-only — using the "
                        "per-layer W8A8 mode for %s", cfg.model.family)
@@ -1042,7 +1045,17 @@ def _int8_quant_tree(cfg, model, variables):
         if not files:
             raise ValueError(
                 f"test.int8_calib_dir={calib_dir!r} holds no images")
-        calib_id = f"{mode}:dir:{calib_dir}:{len(files)}"
+        # Key the cache on file identities (name+mtime+size), not just the
+        # count: replacing calibration images in-place must invalidate the
+        # cached activation scales.
+        import hashlib
+        h = hashlib.sha256()
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{os.path.basename(f)}:{st.st_mtime_ns}:"
+                     f"{st.st_size};".encode())
+        calib_id = (f"{mode}:sz{cfg.model.img_size}:dir:{calib_dir}:"
+                    f"{len(files)}:{h.hexdigest()[:16]}")
         load = lambda i: imread_rgb(files[i])
         n = len(files)
     else:
@@ -1052,7 +1065,7 @@ def _int8_quant_tree(cfg, model, variables):
             raise ValueError(
                 "test.int8 needs a non-empty val set (or "
                 "test.int8_calib_dir) to calibrate")
-        calib_id = f"{mode}:val:{n}"
+        calib_id = f"{mode}:sz{cfg.model.img_size}:val:{n}"
         load = lambda i: ds.load(i)["image"]
 
     cache_path = os.path.join(cfg.work_dir, cfg.name, "int8_quant.npz")

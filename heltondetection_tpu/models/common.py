@@ -89,8 +89,14 @@ def q_requant(y: jnp.ndarray, scale: jnp.ndarray) -> QT:
 def q_cat(parts, axis: int = -1):
     """Channel-concat that keeps the int8 flow: all-QT parts concat as
     int8 with concatenated scale vectors (consumers fold per channel);
-    any float part demotes the whole concat to float."""
+    any float part demotes the whole concat to float. QT scales are
+    per-CHANNEL, so only the channel (last) axis is legal for the int8
+    path — any other axis would silently desynchronize scale and payload."""
     if all(isinstance(p, QT) for p in parts):
+        if axis not in (-1, parts[0].i8.ndim - 1):
+            raise ValueError(
+                f"q_cat over QT parts only supports the channel (last) "
+                f"axis; got axis={axis}")
         return QT(jnp.concatenate([p.i8 for p in parts], axis=axis),
                   jnp.concatenate([p.scale for p in parts]))
     return jnp.concatenate([q_dequant(p) for p in parts], axis=axis)
@@ -225,7 +231,19 @@ class ConvBnAct(nn.Module):
             s_vec = self.get_variable("quant", "in_scale")     # (ci,)
             x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s_vec),
                             -127.0, 127.0).astype(jnp.int8)
-        w_eff = w_f * s_vec[None, None, :, None]
+        if self.groups > 1:
+            # Grouped conv: w_f's input dim is ci/groups; XLA's
+            # feature_group_count splits the ci input channels into
+            # contiguous groups, group j feeding output block j — fold
+            # each group's slice of the incoming scale vector into its
+            # own output block.
+            kh, kw, cig, co = w_f.shape
+            s_g = s_vec.reshape(self.groups, cig)          # (g, ci/g)
+            w_eff = (w_f.reshape(kh, kw, cig, self.groups, co // self.groups)
+                     * s_g.T[None, None, :, :, None]
+                     ).reshape(kh, kw, cig, co)
+        else:
+            w_eff = w_f * s_vec[None, None, :, None]
         s_w = jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / 127.0
         s_w = jnp.where(s_w > 0, s_w, 1.0)
         w_q = jnp.clip(jnp.round(w_eff / s_w), -127.0, 127.0

@@ -514,3 +514,72 @@ def test_uncalibrated_variables_float_fallback():
     b = model.apply(dict(variables), im, train=False)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flow_grouped_conv_fold():
+    """ADVICE r4: a grouped ConvBnAct in the int8 flow must fold the
+    incoming per-channel scale per GROUP (w_f's input dim is ci/groups).
+    Before the fix the fold's broadcast failed at trace time."""
+    from heltondetection_tpu.ops.quant import quantize_yolo_flow
+
+    class _Grouped(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = ConvBnAct(8, 1, name="a")(x, train)
+            return ConvBnAct(16, 3, groups=2, name="b")(x, train)
+
+    model = _Grouped()
+    rng = np.random.default_rng(40)
+    x0 = jnp.zeros((1, 16, 16, 4))
+    variables = _realistic_variables(model, x0)
+    calib = rng.integers(0, 255, (4, 16, 16, 4)).astype(np.uint8)
+    q = quantize_yolo_flow(model, variables, calib, skip=(), float_out=())
+    assert "w_f" in q["a"] and "w_f" in q["b"]
+    im = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 4)),
+                     jnp.float32) / 255.0
+    y_f = np.asarray(model.apply(variables, im, train=False), np.float32)
+    from heltondetection_tpu.models.common import q_dequant
+    y_q = np.asarray(q_dequant(model.apply({**variables, "quant": q}, im,
+                                           train=False)), np.float32)
+    rel = np.linalg.norm(y_f - y_q) / np.linalg.norm(y_f)
+    assert rel < 0.1, rel
+
+
+def test_q_cat_rejects_non_channel_axis():
+    """ADVICE r4: QT scales are per-channel, so q_cat over QT parts must
+    refuse any non-channel axis instead of silently desynchronizing."""
+    from heltondetection_tpu.models.common import QT, q_cat
+    a = QT(jnp.zeros((1, 4, 4, 3), jnp.int8), jnp.ones((3,), jnp.float32))
+    b = QT(jnp.ones((1, 4, 4, 5), jnp.int8), jnp.ones((5,), jnp.float32))
+    out = q_cat([a, b], axis=-1)
+    assert out.i8.shape == (1, 4, 4, 8) and out.scale.shape == (8,)
+    out2 = q_cat([a, b], axis=3)
+    assert out2.i8.shape == (1, 4, 4, 8)
+    with pytest.raises(ValueError):
+        q_cat([a, a], axis=1)
+
+
+def test_int8_mode_validation():
+    """ADVICE r4: an unrecognized test.int8_mode raises instead of
+    silently serving the 'layer' path."""
+    import dataclasses as _dc
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.engine.runner import (_int8_quant_tree,
+                                                   build_model)
+    cfg = ExperimentConfig(
+        name="badmode", work_dir="/tmp/x",
+        data=DataConfig(format="coco", train_ann="", train_imgs="",
+                        val_ann="", val_imgs=""),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(), eval=EvalConfig(),
+        test=TestConfig(int8=True, int8_mode="Flow"))
+    model = build_model(cfg.model, 4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    with pytest.raises(ValueError, match="int8_mode"):
+        _int8_quant_tree(cfg, model, variables)
