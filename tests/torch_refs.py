@@ -403,3 +403,99 @@ def decode_deltas_numpy(anchors, deltas, weights=(1.0, 1.0, 1.0, 1.0),
     pw, ph = np.exp(dw) * wa, np.exp(dh) * ha
     return np.stack([cx - 0.5 * pw, cy - 0.5 * ph,
                      cx + 0.5 * pw, cy + 0.5 * ph], -1)
+
+
+# ---------------------------------------------------------------------------
+# FasterRCNN neck/RPN/box-head mirrors (VERDICT r4 item 2: the torch side
+# of the two-stage AP-score oracle). Weights are COPIED from the flax
+# model's params (load_frcnn_heads_from_flax) so one parameter set drives
+# both independently written forwards; the backbone comes from
+# make_resnet_sd via TorchResNet on this side and convert_resnet/
+# graft_backbone on the flax side, exactly the production import path.
+# ---------------------------------------------------------------------------
+
+class TorchFPN(nn.Module):
+    """models/necks.py FPN mirror: lateral 1x1 + nearest-2x top-down sum +
+    3x3 smooth + stride-2 subsample P6 (torchvision FasterRCNN style)."""
+
+    def __init__(self, cins, cout=256):
+        super().__init__()
+        self.lat = nn.ModuleList([nn.Conv2d(c, cout, 1) for c in cins])
+        self.smooth = nn.ModuleList(
+            [nn.Conv2d(cout, cout, 3, padding=1) for _ in cins])
+
+    def forward(self, feats):
+        lats = [l(f) for l, f in zip(self.lat, feats)]
+        for i in range(len(lats) - 2, -1, -1):
+            lats[i] = lats[i] + F.interpolate(lats[i + 1], scale_factor=2,
+                                              mode="nearest")
+        outs = [s(x) for s, x in zip(self.smooth, lats)]
+        outs.append(F.max_pool2d(outs[-1], 1, stride=2))
+        return outs
+
+
+class TorchRPNHead(nn.Module):
+    """models/faster_rcnn.py RPNHead mirror; flattening follows the flax
+    NHWC order (h, w, anchor) with the 4 delta components fastest."""
+
+    def __init__(self, c=256, a=3):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+        self.cls = nn.Conv2d(c, a, 1)
+        self.reg = nn.Conv2d(c, a * 4, 1)
+
+    def forward(self, feats):
+        logits, deltas = [], []
+        for f in feats:
+            t = F.relu(self.conv(f))
+            b = t.shape[0]
+            logits.append(self.cls(t).permute(0, 2, 3, 1).reshape(b, -1))
+            deltas.append(self.reg(t).permute(0, 2, 3, 1).reshape(b, -1, 4))
+        return torch.cat(logits, 1), torch.cat(deltas, 1)
+
+
+class TorchCoupledBoxHead(nn.Module):
+    """CoupledBoxHead mirror: crops arrive (R, 7, 7, C) channel-LAST (the
+    roi_align_numpy layout == the flax flatten order), so the flatten
+    matches the flax fc1 kernel with no permutation."""
+
+    def __init__(self, in_feats, num_classes):
+        super().__init__()
+        self.fc1 = nn.Linear(in_feats, 1024)
+        self.fc2 = nn.Linear(1024, 1024)
+        self.cls = nn.Linear(1024, num_classes + 1)
+        self.reg = nn.Linear(1024, num_classes * 4)
+
+    def forward(self, crops):          # (R, 7, 7, C) torch tensor
+        x = crops.reshape(crops.shape[0], -1)
+        x = F.relu(self.fc1(x))
+        x = F.relu(self.fc2(x))
+        return self.cls(x), self.reg(x).reshape(x.shape[0], -1, 4)
+
+
+def _t_conv(mod: nn.Conv2d, p) -> None:
+    mod.weight.data = torch.from_numpy(
+        np.transpose(np.asarray(p["kernel"], np.float32), (3, 2, 0, 1)).copy())
+    mod.bias.data = torch.from_numpy(np.asarray(p["bias"], np.float32).copy())
+
+
+def _t_dense(mod: nn.Linear, p) -> None:
+    mod.weight.data = torch.from_numpy(
+        np.asarray(p["kernel"], np.float32).T.copy())
+    mod.bias.data = torch.from_numpy(np.asarray(p["bias"], np.float32).copy())
+
+
+def load_frcnn_heads_from_flax(fpn: TorchFPN, rpn: TorchRPNHead,
+                               box_head: TorchCoupledBoxHead, params) -> None:
+    """Copy the flax FasterRCNN's neck/rpn/box_head params into the torch
+    mirrors (flax HWIO conv kernels -> torch OIHW; dense (in,out) -> (out,in))."""
+    for i in range(len(fpn.lat)):
+        _t_conv(fpn.lat[i], params["neck"][f"lat{i}"])
+        _t_conv(fpn.smooth[i], params["neck"][f"smooth{i}"])
+    _t_conv(rpn.conv, params["rpn"]["conv"])
+    _t_conv(rpn.cls, params["rpn"]["cls"])
+    _t_conv(rpn.reg, params["rpn"]["reg"])
+    _t_dense(box_head.fc1, params["box_head"]["fc1"])
+    _t_dense(box_head.fc2, params["box_head"]["fc2"])
+    _t_dense(box_head.cls, params["box_head"]["cls"])
+    _t_dense(box_head.reg, params["box_head"]["reg"])
