@@ -124,7 +124,7 @@ def main():
     achieved_tflops = flops / dt / 1e12
     mfu = 100.0 * achieved_tflops / V5E_PEAK_TFLOPS
 
-    print(json.dumps({
+    rec = {
         "metric": f"YOLOv5s 640^2 fwd+decode+NMS images/sec/chip "
                   f"(bf16, b{BATCH})",
         "value": round(img_s, 1),
@@ -133,7 +133,22 @@ def main():
         "baseline_source": BASELINE_SOURCE,
         "achieved_tflops": round(achieved_tflops, 2),
         "mfu_pct": round(mfu, 2),
-    }))
+    }
+    # embed the latest multi-path record (tools/bench_full.py) so the
+    # driver-captured bench line tracks EVERY headline path + baseline
+    # per round, not just serve (VERDICT r4 item 3). bench_full runs
+    # separately (~25 min); its rows carry their own measurement date.
+    try:
+        import os
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_LATEST.json")
+        with open(p) as f:
+            rec["paths"] = json.load(f)
+        rec["paths_recorded"] = time.strftime(
+            "%Y-%m-%d", time.localtime(os.path.getmtime(p)))
+    except Exception:
+        pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -162,6 +162,20 @@ class TestConfig:
     int8_calib_dir: Optional[str] = None   # calibrate on this directory of
     # images instead of the val split (pure-inference hosts); the quant
     # tree is cached at {work_dir}/{name}/int8_quant.npz either way
+    int8_float_tail: str = "accuracy"  # which layer groups stay float
+    # (yolov5 only; measured by tools/sweep_int8_sensitivity.py — the AP
+    # cost of PTQ concentrates in the high-res early backbone and the
+    # top-down neck path feeding the small-box level):
+    #   "none"     — quantize everything but the stem (max throughput;
+    #                ~9 pts AP50-95 on the overfit protocol)
+    #   "balanced" — down1/c3_1 + lat4/td3 float (~1.5-1.9 pts)
+    #   "accuracy" — bb_early + neck_td float (~0.5-1.1 pts; 0 with
+    #                int8_act_clip="amax" in layer mode)
+    int8_act_clip: str = "p999"       # activation clip: "p999" (robust to
+    # outliers on real data) or "amax" (exact-range; best on the overfit
+    # protocol composed with the "accuracy" tail)
+    int8_skip: Optional[Tuple[str, ...]] = None   # explicit '/'-joined
+    # module-path prefixes to keep float — overrides int8_float_tail
 
 
 @dataclass

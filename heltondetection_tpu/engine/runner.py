@@ -1023,11 +1023,32 @@ def _int8_quant_tree(cfg, model, variables):
     from heltondetection_tpu.data.augment import letterbox_np
     from heltondetection_tpu.ops.quant import (quantize_rcnn, quantize_yolo,
                                                quantize_yolo_flow)
+    from heltondetection_tpu.ops.quant import YOLO_INT8_SKIP_PRESETS
     logger = get_logger()
     mode = getattr(cfg.test, "int8_mode", "layer")
     if mode not in ("layer", "flow"):
         raise ValueError(
             f"test.int8_mode={mode!r} — expected 'layer' or 'flow'")
+    act_clip = getattr(cfg.test, "int8_act_clip", "p999")
+    if act_clip not in ("p999", "amax"):
+        raise ValueError(
+            f"test.int8_act_clip={act_clip!r} — expected 'p999' or 'amax'")
+    skip = getattr(cfg.test, "int8_skip", None)
+    tail = getattr(cfg.test, "int8_float_tail", "accuracy")
+    if skip is not None:
+        skip = tuple(skip)
+        tail = f"skip{len(skip)}"
+    elif cfg.model.family == "yolov5":
+        if tail not in YOLO_INT8_SKIP_PRESETS:
+            raise ValueError(
+                f"test.int8_float_tail={tail!r} — expected one of "
+                f"{sorted(YOLO_INT8_SKIP_PRESETS)}")
+        skip = YOLO_INT8_SKIP_PRESETS[tail]
+    else:
+        # the float-tail sensitivity sweep covers the YOLO family only;
+        # two-stage models keep their measured default (stem float)
+        skip = ("backbone/stem_conv",)
+        tail = "rcnn-default"
     if mode == "flow" and cfg.model.family != "yolov5":
         logger.warning("test.int8_mode='flow' is yolov5-only — using the "
                        "per-layer W8A8 mode for %s", cfg.model.family)
@@ -1054,8 +1075,8 @@ def _int8_quant_tree(cfg, model, variables):
             st = os.stat(f)
             h.update(f"{os.path.basename(f)}:{st.st_mtime_ns}:"
                      f"{st.st_size};".encode())
-        calib_id = (f"{mode}:sz{cfg.model.img_size}:dir:{calib_dir}:"
-                    f"{len(files)}:{h.hexdigest()[:16]}")
+        calib_id = (f"{mode}:{tail}:{act_clip}:sz{cfg.model.img_size}:"
+                    f"dir:{calib_dir}:{len(files)}:{h.hexdigest()[:16]}")
         load = lambda i: imread_rgb(files[i])
         n = len(files)
     else:
@@ -1065,7 +1086,8 @@ def _int8_quant_tree(cfg, model, variables):
             raise ValueError(
                 "test.int8 needs a non-empty val set (or "
                 "test.int8_calib_dir) to calibrate")
-        calib_id = f"{mode}:sz{cfg.model.img_size}:val:{n}"
+        calib_id = (f"{mode}:{tail}:{act_clip}:sz{cfg.model.img_size}:"
+                    f"val:{n}")
         load = lambda i: ds.load(i)["image"]
 
     cache_path = os.path.join(cfg.work_dir, cfg.name, "int8_quant.npz")
@@ -1103,7 +1125,8 @@ def _int8_quant_tree(cfg, model, variables):
         quantize = quantize_yolo_flow
     else:
         quantize = quantize_yolo
-    tree = quantize(model, variables, np.stack(imgs).astype(np.uint8))
+    tree = quantize(model, variables, np.stack(imgs).astype(np.uint8),
+                    skip=skip, act_clip=act_clip)
     try:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         np.savez(cache_path, __fingerprint__=fp,

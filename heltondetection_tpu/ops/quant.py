@@ -287,6 +287,22 @@ def quantize_yolo(model, variables, calib_images, *, normalize: bool = True,
 # instead of paying a requant+dequant round trip at the boundary.
 YOLO_FLOW_FLOAT_OUT = ("neck/td3/cv3", "neck/bu4/cv3", "neck/bu6/cv3")
 
+# Float-tail presets (tools/sweep_int8_sensitivity.py, PERF_NOTES int8
+# sensitivity entry): the PTQ AP cost concentrates in the HIGH-RESOLUTION
+# early backbone stages and the top-down neck path feeding P3 (the
+# small-box level) — quantizing only the rest is nearly free in AP.
+# Overfit-protocol AP50-95 (float 0.9841): all-quantized 0.8915/0.8920
+# (layer/flow); "balanced" 0.9653/0.9694; "accuracy" 0.9790/0.9731
+# (1.0000/0.9923 of float with act_clip="amax").
+YOLO_INT8_SKIP_PRESETS = {
+    "none": ("backbone/stem",),
+    "balanced": ("backbone/stem", "backbone/down1", "backbone/c3_1",
+                 "neck/lat4", "neck/td3"),
+    "accuracy": ("backbone/stem", "backbone/down1", "backbone/c3_1",
+                 "backbone/down2", "backbone/c3_2", "neck/lat5", "neck/td4",
+                 "neck/lat4", "neck/td3"),
+}
+
 
 def build_flow_tree(variables, amax_tree: Dict[str, Any], *,
                     skip: Sequence[str] = (),

@@ -583,3 +583,62 @@ def test_int8_mode_validation():
                            train=False)
     with pytest.raises(ValueError, match="int8_mode"):
         _int8_quant_tree(cfg, model, variables)
+
+
+def test_int8_float_tail_presets(tmp_path):
+    """VERDICT r5 int8 mitigation knobs: the float-tail presets resolve to
+    skip lists (measured by tools/sweep_int8_sensitivity.py), the explicit
+    int8_skip override wins, and invalid values raise."""
+    import dataclasses as _dc
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_data import build_coco_dataset
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TestConfig,
+                                                  TrainConfig)
+    from heltondetection_tpu.engine.runner import (_int8_quant_tree,
+                                                   build_model)
+
+    root = str(tmp_path)
+    ann, imgs = build_coco_dataset(root, n_images=4, hw=(96, 128),
+                                   num_classes=4)
+    base = ExperimentConfig(
+        name="tail", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco", train_ann=ann, train_imgs=imgs,
+                        val_ann=ann, val_imgs=imgs, max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(), eval=EvalConfig(),
+        test=TestConfig(int8=True, int8_calib=2))
+    model = build_model(base.model, 4)
+    variables = _realistic_variables(model, jnp.zeros((1, 64, 64, 3)))
+
+    def tree_for(test_cfg):
+        cfg = _dc.replace(base, test=test_cfg,
+                          name=f"tail_{test_cfg.int8_float_tail}"
+                               f"_{test_cfg.int8_skip is not None}")
+        return _int8_quant_tree(cfg, model, variables)
+
+    # default preset ("accuracy"): early backbone + top-down neck float
+    q = tree_for(TestConfig(int8=True, int8_calib=2))
+    assert "down1" not in q.get("backbone", {})
+    assert "td3" not in q.get("neck", {})
+    assert "down3" in q["backbone"] and "bu4" in q["neck"]
+    # "none": everything but the stem quantized
+    q = tree_for(TestConfig(int8=True, int8_calib=2, int8_float_tail="none"))
+    assert "down1" in q["backbone"] and "td3" in q["neck"]
+    assert "stem" not in q["backbone"]
+    # explicit skip override wins over the preset
+    q = tree_for(TestConfig(int8=True, int8_calib=2,
+                            int8_skip=("backbone",)))
+    assert "backbone" not in q
+    assert "td3" in q["neck"]
+    # invalid values raise
+    with pytest.raises(ValueError, match="int8_float_tail"):
+        tree_for(TestConfig(int8=True, int8_calib=2,
+                            int8_float_tail="fastest"))
+    with pytest.raises(ValueError, match="int8_act_clip"):
+        tree_for(TestConfig(int8=True, int8_calib=2, int8_act_clip="max"))

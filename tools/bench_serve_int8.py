@@ -63,6 +63,10 @@ def main():
     from heltondetection_tpu.ops.quant import quantize_yolo, \
         quantize_yolo_flow
 
+    from heltondetection_tpu.ops.quant import YOLO_INT8_SKIP_PRESETS
+
+    presets = (sys.argv[2].split(",") if len(sys.argv) > 2
+               else ["none", "balanced", "accuracy"])
     nc = 80
     model = build_yolov5(variant, num_classes=nc, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
@@ -70,15 +74,18 @@ def main():
                            train=False)
     rng = np.random.default_rng(1)
     calib = rng.integers(0, 255, (8, 640, 640, 3)).astype(np.uint8)
-    t0 = time.perf_counter()
-    q = quantize_yolo(model, variables, calib)
-    print(f"calibration+fold: {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    qf = quantize_yolo_flow(model, variables, calib)
-    print(f"flow calibration+fold: {time.perf_counter() - t0:.1f}s",
-          flush=True)
+    cases = [("bf16", None)]
+    for p in presets:
+        skip = YOLO_INT8_SKIP_PRESETS[p]
+        t0 = time.perf_counter()
+        cases.append((f"int8[{p}]",
+                      quantize_yolo(model, variables, calib, skip=skip)))
+        cases.append((f"int8flow[{p}]",
+                      quantize_yolo_flow(model, variables, calib, skip=skip)))
+        print(f"{p} calibration+fold x2: {time.perf_counter() - t0:.1f}s",
+              flush=True)
 
-    for name, quant in (("bf16", None), ("int8", q), ("int8flow", qf)):
+    for name, quant in cases:
         step = make_packed_serve_step(model, variables, nc, conf_thres=0.001,
                                       iou_thres=0.65, pre_nms_topk=1024,
                                       quant=quant)
