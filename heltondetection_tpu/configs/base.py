@@ -162,15 +162,19 @@ class TestConfig:
     int8_calib_dir: Optional[str] = None   # calibrate on this directory of
     # images instead of the val split (pure-inference hosts); the quant
     # tree is cached at {work_dir}/{name}/int8_quant.npz either way
-    int8_float_tail: str = "accuracy"  # which layer groups stay float
+    int8_float_tail: str = "balanced"  # which layer groups stay float
     # (yolov5 only; measured by tools/sweep_int8_sensitivity.py — the AP
     # cost of PTQ concentrates in the high-res early backbone and the
-    # top-down neck path feeding the small-box level):
-    #   "none"     — quantize everything but the stem (max throughput;
+    # top-down neck path feeding the small-box level). v5l 640² b128
+    # serve throughput vs bf16 1154 img/s in parentheses:
+    #   "none"     — quantize everything but the stem (1391 = 1.21x;
     #                ~9 pts AP50-95 on the overfit protocol)
-    #   "balanced" — down1/c3_1 + lat4/td3 float (~1.5-1.9 pts)
-    #   "accuracy" — bb_early + neck_td float (~0.5-1.1 pts; 0 with
-    #                int8_act_clip="amax" in layer mode)
+    #   "balanced" — down1/c3_1 + lat4/td3 float (1401 = 1.21x — the
+    #                skipped convs were bandwidth-bound in int8 anyway;
+    #                ~1.5-1.9 pts). DEFAULT: keeps the full speed win
+    #                at a fraction of the AP cost.
+    #   "accuracy" — bb_early + neck_td float (1347 = 1.17x; ~0.5-1.1
+    #                pts, 0 with int8_act_clip="amax" in layer mode)
     int8_act_clip: str = "p999"       # activation clip: "p999" (robust to
     # outliers on real data) or "amax" (exact-range; best on the overfit
     # protocol composed with the "accuracy" tail)

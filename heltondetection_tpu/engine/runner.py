@@ -181,6 +181,84 @@ def _config_num_classes(cfg: ExperimentConfig) -> int:
     return cfg.model.num_classes
 
 
+class _DatasetShard:
+    """Index-strided view of a dataset for process-sharded eval: exposes
+    exactly the (len, load) surface EvalPipeline consumes."""
+
+    def __init__(self, ds, indices):
+        self._ds = ds
+        self._idx = list(indices)
+        self.num_classes = getattr(ds, "num_classes", None)
+
+    def __len__(self):
+        return len(self._idx)
+
+    def load(self, i):
+        return self._ds.load(self._idx[i])
+
+
+def _eval_multihost(cfg, ds, ev, det, nc: int, logger):
+    """Process-sharded eval: local run over this rank's stride, det merge
+    at rank 0 via the shared work_dir, stats broadcast via file. Returns
+    the merged stats on every rank; ``det`` (the GT-registered DetEval)
+    holds the merged detections on rank 0 only."""
+    import json as _json
+
+    from jax.experimental import multihost_utils
+
+    from heltondetection_tpu.data.augment import EvalPipeline
+    from heltondetection_tpu.data.loader import EvalLoader
+    from heltondetection_tpu.utils.cocoeval import DetEval
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    out_dir = os.path.join(cfg.work_dir, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    shard = _DatasetShard(ds, range(pid, len(ds), nproc))
+    local = DetEval(nc)                 # dets only; GT lives in ``det``
+    t0 = time.perf_counter()
+    with EvalLoader(EvalPipeline(shard, cfg.model.img_size),
+                    cfg.eval.batch_size,
+                    num_workers=cfg.train.num_workers) as loader:
+        local_stats = ev.run(loader, det_eval=local, verbose=False)
+    entries = []
+    for (img_id, cat), lst in local._dts.items():
+        for box, score in lst:
+            entries.append([img_id, int(cat), float(score),
+                            [float(v) for v in box]])
+    path = os.path.join(out_dir, f"eval_dets_rank{pid}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"n_images": int(local_stats["num_images"]),
+                    "dets": entries}, f)
+    os.replace(tmp, path)               # atomic: rank 0 never reads a half
+    multihost_utils.sync_global_devices("helton_eval_dets_written")
+    stats_path = os.path.join(out_dir, "eval_stats.json")
+    if pid == 0:
+        n_images = 0
+        for r in range(nproc):
+            with open(os.path.join(out_dir,
+                                   f"eval_dets_rank{r}.json")) as f:
+                payload = _json.load(f)
+            n_images += payload["n_images"]
+            for img_id, cat, score, box in payload["dets"]:
+                det._dts.setdefault((img_id, cat), []).append(
+                    (np.asarray(box, np.float32), score))
+        stats = det.summarize()
+        stats["num_images"] = n_images
+        stats["images_per_sec"] = n_images / max(
+            time.perf_counter() - t0, 1e-9)
+        with open(stats_path + ".tmp", "w") as f:
+            _json.dump(stats, f)
+        os.replace(stats_path + ".tmp", stats_path)
+        logger.info("multi-host eval: %d processes, %d images merged",
+                    nproc, n_images)
+    multihost_utils.sync_global_devices("helton_eval_stats_written")
+    if pid != 0:
+        with open(stats_path) as f:
+            stats = _json.load(f)
+    return stats
+
+
 def run_eval(cfg: ExperimentConfig, variables=None, model=None,
              verbose: bool = True, dump_json: Optional[str] = None,
              _reuse: Optional[Dict] = None) -> Dict[str, float]:
@@ -316,11 +394,24 @@ def run_eval(cfg: ExperimentConfig, variables=None, model=None,
             eval_pipe = NativeEvalPipeline(
                 ds, cfg.model.img_size,
                 decode_in_pool=cfg.train.decode_in_pool)
-    if eval_pipe is None:
-        eval_pipe = EvalPipeline(ds, cfg.model.img_size)
-    with EvalLoader(eval_pipe, cfg.eval.batch_size,
-                    num_workers=cfg.train.num_workers) as loader:
-        stats = ev.run(loader, det_eval=det, verbose=False)
+    if _reuse is None and jax.process_count() > 1:
+        # Multi-host eval (VERDICT r4 item 7): each process scores its
+        # [pid::P] stride of the val set on its LOCAL devices, dets merge
+        # at rank 0 through the shared work_dir (the mmdet lineage's
+        # tmpdir collect — README.md:158-164; the shared filesystem is
+        # already a requirement for multi-host checkpoint resume), and
+        # the summary broadcasts back via the stats file. The reference's
+        # DDP eval is rank-0-only (SURVEY.md §3.1) — this is a P-way
+        # speedup over that. In-loop eval (_reuse) stays rank-0-only.
+        stats = _eval_multihost(cfg, ds, ev, det, nc, logger)
+        if jax.process_index() != 0:
+            verbose = False          # artifacts/classwise need rank-0 dets
+    else:
+        if eval_pipe is None:
+            eval_pipe = EvalPipeline(ds, cfg.model.img_size)
+        with EvalLoader(eval_pipe, cfg.eval.batch_size,
+                        num_workers=cfg.train.num_workers) as loader:
+            stats = ev.run(loader, det_eval=det, verbose=False)
     if dump_json and jax.process_index() == 0:
         import json
         results = det.to_coco_json(getattr(ds, "label_to_cat", None))
@@ -1034,7 +1125,7 @@ def _int8_quant_tree(cfg, model, variables):
         raise ValueError(
             f"test.int8_act_clip={act_clip!r} — expected 'p999' or 'amax'")
     skip = getattr(cfg.test, "int8_skip", None)
-    tail = getattr(cfg.test, "int8_float_tail", "accuracy")
+    tail = getattr(cfg.test, "int8_float_tail", "balanced")
     if skip is not None:
         skip = tuple(skip)
         tail = f"skip{len(skip)}"

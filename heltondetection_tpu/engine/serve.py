@@ -56,11 +56,20 @@ class BatchingDetector:
         its 'data' axis so one server feeds every local chip (the same
         multi-chip pattern the evaluator uses); ``batch_size`` must
         divide by the mesh's data-axis size.
+      batch_buckets: OPT-IN adaptive batching: extra static batch sizes
+        to compile (jax.jit caches one program per shape). A partially-
+        filled collection dispatches the SMALLEST bucket that holds it,
+        so light load (clients < batch) stops paying for padded slots —
+        the measured failure mode was 47% fill at batch=16 with 8
+        clients; (4, 16) restores ≥90%. Default: batch_size only, which
+        keeps results bit-stable across load (different batch shapes
+        compile different XLA programs whose reductions differ in final
+        float bits). ``warmup()`` pre-compiles every bucket.
     """
 
     def __init__(self, detector: Detector, *, batch_size: int = 8,
                  max_wait_ms: float = 5.0, max_in_flight: int = 2,
-                 mesh=None):
+                 mesh=None, batch_buckets: Optional[Sequence[int]] = None):
         if detector.tta:
             raise ValueError(
                 "BatchingDetector serves the single-view path; construct "
@@ -78,6 +87,19 @@ class BatchingDetector:
             self._sharding = batch_sharding(mesh)
         self._det = detector
         self.batch_size = batch_size
+        if batch_buckets is None:
+            buckets = {batch_size}
+        else:
+            buckets = {int(b) for b in batch_buckets} | {batch_size}
+            if any(b < 1 or b > batch_size for b in buckets):
+                raise ValueError(
+                    f"batch_buckets must lie in [1, batch_size]; got "
+                    f"{sorted(buckets)}")
+        if self._sharding is not None:
+            # every compiled shape must shard evenly over the data axis
+            n = mesh.shape["data"]
+            buckets = {b for b in buckets if b % n == 0}
+        self.batch_buckets = sorted(buckets)
         self.max_wait_s = max_wait_ms / 1e3
         self.max_in_flight = max_in_flight
         self._q: "queue.Queue" = queue.Queue()
@@ -86,7 +108,8 @@ class BatchingDetector:
         # submitter that passed the _closed check could be descheduled and
         # enqueue AFTER the poison, leaving its future unresolved forever
         self._submit_lock = threading.Lock()
-        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
+                       "dispatched_slots": 0}
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._dispatch_loop,
                                         name="batching-detector",
@@ -127,6 +150,18 @@ class BatchingDetector:
         with self._stats_lock:
             for k in self._stats:
                 self._stats[k] = 0
+
+    def warmup(self) -> None:
+        """Compile + run every batch bucket once on dummy frames, so
+        production traffic never pays a first-shape XLA compile."""
+        import jax
+        import jax.numpy as jnp
+        s = self._det.img_size
+        for b in self.batch_buckets:
+            x = np.zeros((b, s, s, 3), np.float32)
+            if self._sharding is not None:
+                x = jax.device_put(x, self._sharding)
+            jax.device_get(self._det._detect(jnp.asarray(x)))
 
     def close(self, timeout: float = 30.0) -> bool:
         """Drain pending requests and stop the dispatcher. Returns True if
@@ -220,8 +255,12 @@ class BatchingDetector:
                 break
             try:
                 real = len(items)
+                # smallest compiled bucket that holds the collection:
+                # light load dispatches the small program instead of
+                # padding the big one
+                bucket = next(b for b in self.batch_buckets if b >= real)
                 lbs = [it[0] for it in items]
-                lbs += [lbs[-1]] * (self.batch_size - real)   # static shape
+                lbs += [lbs[-1]] * (bucket - real)        # static shape
                 x = np.stack(lbs).astype(np.float32)
                 if self._sharding is not None:   # multi-chip: shard the
                     x = jax.device_put(x, self._sharding)   # data axis
@@ -229,7 +268,8 @@ class BatchingDetector:
                 in_flight.append((out, items))
                 with self._stats_lock:
                     self._stats["batches"] += 1
-                    self._stats["padded_slots"] += self.batch_size - real
+                    self._stats["padded_slots"] += bucket - real
+                    self._stats["dispatched_slots"] += bucket
             except Exception as e:
                 for _, _, _, fut in items:
                     if fut.set_running_or_notify_cancel():

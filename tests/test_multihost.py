@@ -20,6 +20,7 @@ WORKER = textwrap.dedent("""
     import os, sys
     proc_id = int(sys.argv[1])
     port = sys.argv[2]
+    nproc = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -29,20 +30,21 @@ WORKER = textwrap.dedent("""
                                                    init_distributed,
                                                    replicated)
     assert init_distributed(coordinator_address=f"localhost:{port}",
-                            num_processes=2, process_id=proc_id)
-    assert jax.process_count() == 2
-    assert jax.device_count() == 4          # 2 local x 2 processes
+                            num_processes=nproc, process_id=proc_id)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc  # 2 local x nproc processes
     assert jax.local_device_count() == 2
 
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    mesh = create_mesh()                     # global 4-device data mesh
+    mesh = create_mesh()                     # global data mesh
     sh = NamedSharding(mesh, P("data"))
-    # global (4, 8) batch: every process contributes its local shards
-    full = np.arange(32, dtype=np.float32).reshape(4, 8)
-    arr = jax.make_array_from_callback((4, 8), sh, lambda idx: full[idx])
+    # global (2*nproc, 8) batch: every process contributes local shards
+    rows = 2 * nproc
+    full = np.arange(rows * 8, dtype=np.float32).reshape(rows, 8)
+    arr = jax.make_array_from_callback((rows, 8), sh, lambda idx: full[idx])
     # jitted global reduction == the gradient all-reduce program shape
     out = jax.jit(lambda x: x.sum(), out_shardings=replicated(mesh))(arr)
     assert float(out) == float(full.sum()), float(out)
@@ -173,24 +175,30 @@ def _free_port() -> str:
         return str(s.getsockname()[1])
 
 
-def test_two_process_cpu_cluster(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_cpu_cluster(tmp_path, nproc):
+    """2- and 4-process clusters (VERDICT r4 item 7: the multi-host
+    evidence previously stopped at 2 processes)."""
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, env=env, text=True)
-             for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), port, str(nproc)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(nproc)]
     outs = []
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=180)
+        out, _ = p.communicate(timeout=300)
         outs.append(out)
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-    assert "worker 0 ok" in outs[0]
-    assert "worker 1 ok" in outs[1]
+    for i in range(nproc):
+        assert f"worker {i} ok" in outs[i]
 
 
 def test_two_process_training_equivalence(tmp_path):
@@ -359,3 +367,192 @@ def test_init_distributed_failed_bootstrap_raises(monkeypatch):
     monkeypatch.delenv("CLOUD_TPU_TASK_ID")
     # plain single-host auto-detect → benign no-op
     assert pmesh.init_distributed() is False
+
+
+EVAL_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    root = sys.argv[3]
+
+    from heltondetection_tpu.parallel.mesh import init_distributed
+    assert init_distributed(coordinator_address=f"localhost:{port}",
+                            num_processes=2, process_id=proc_id)
+
+    import jax.numpy as jnp
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TrainConfig)
+    from heltondetection_tpu.engine.runner import build_model, run_eval
+    ann = os.path.join(root, "ann.json")
+    imgs = os.path.join(root, "images")
+    cfg = ExperimentConfig(
+        name="mh_eval", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco", train_ann=ann, train_imgs=imgs,
+                        val_ann=ann, val_imgs=imgs, max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(num_workers=0),
+        eval=EvalConfig(batch_size=2, conf_thres=0.05, max_det=16))
+    model = build_model(cfg.model, 4)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    stats = run_eval(cfg, variables=variables, model=model, verbose=False)
+    print(f"EVAL_OK rank={proc_id} AP={stats['AP']:.10f} "
+          f"AP50={stats['AP50']:.10f} n={stats['num_images']}", flush=True)
+""")
+
+
+def test_multihost_eval_sharded_merge(tmp_path):
+    """Process-sharded eval with rank-0 det merge (VERDICT r4 item 7):
+    run_eval on a real 2-process cluster shards the val set [pid::2],
+    merges detections through the shared work_dir, and every rank returns
+    the SAME stats — equal to a single-process eval of the same model
+    (per-image results are batch-composition independent, so the merge
+    must be bit-faithful)."""
+    import re
+
+    import jax
+
+    from synth_data import build_coco_dataset
+
+    root = str(tmp_path)
+    build_coco_dataset(root, n_images=8, hw=(96, 128))
+    worker = tmp_path / "worker.py"
+    worker.write_text(EVAL_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), port, root],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    got = []
+    for out in outs:
+        m = re.search(r"EVAL_OK rank=\d AP=(\S+) AP50=(\S+) n=(\d+)", out)
+        assert m, out
+        got.append((float(m.group(1)), float(m.group(2)), int(m.group(3))))
+    # both ranks report the same merged verdict over ALL images
+    assert got[0] == got[1], got
+    assert got[0][2] == 8
+    # rank det shards existed (each scored half the set)
+    run_dir = os.path.join(root, "runs", "mh_eval")
+    assert os.path.exists(os.path.join(run_dir, "eval_dets_rank0.json"))
+    assert os.path.exists(os.path.join(run_dir, "eval_dets_rank1.json"))
+
+    # single-process reference on the identical model/init
+    import jax.numpy as jnp
+
+    from heltondetection_tpu.configs.base import (DataConfig, EvalConfig,
+                                                  ExperimentConfig,
+                                                  ModelConfig, TrainConfig)
+    from heltondetection_tpu.engine.runner import build_model, run_eval
+    cfg = ExperimentConfig(
+        name="sp_eval", work_dir=os.path.join(root, "runs"),
+        data=DataConfig(format="coco",
+                        train_ann=os.path.join(root, "ann.json"),
+                        train_imgs=os.path.join(root, "images"),
+                        val_ann=os.path.join(root, "ann.json"),
+                        val_imgs=os.path.join(root, "images"),
+                        max_boxes=16),
+        model=ModelConfig(family="yolov5", variant="n", num_classes=4,
+                          img_size=64),
+        train=TrainConfig(num_workers=0),
+        eval=EvalConfig(batch_size=2, conf_thres=0.05, max_det=16))
+    model = build_model(cfg.model, 4)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    ref = run_eval(cfg, variables=variables, model=model, verbose=False)
+    assert abs(ref["AP"] - got[0][0]) < 1e-9, (ref["AP"], got[0][0])
+    assert abs(ref["AP50"] - got[0][1]) < 1e-9
+
+
+SERVE_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from heltondetection_tpu.parallel.mesh import init_distributed
+    assert init_distributed(coordinator_address=f"localhost:{port}",
+                            num_processes=2, process_id=proc_id)
+
+    # per-host serving in a cluster (the production shape: one batcher +
+    # HTTP server per host behind a load balancer; serving is data-
+    # parallel across hosts with no cross-process coupling)
+    import threading
+    import numpy as np
+    import jax.numpy as jnp
+    import cv2, urllib.request
+    from heltondetection_tpu.engine.evaluator import make_packed_serve_step
+    from heltondetection_tpu.engine.infer import Detector
+    from heltondetection_tpu.engine.serve import (BatchingDetector,
+                                                  make_http_server)
+    from heltondetection_tpu.models.yolov5 import YOLOv5
+
+    nc, img = 4, 64
+    model = YOLOv5(num_classes=nc, depth_multiple=0.33, width_multiple=0.125)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, img, img, 3)), train=False)
+    step = make_packed_serve_step(model, variables, nc, conf_thres=0.05,
+                                  multi_label=False)
+    det = Detector(None, nc, img, detect_fn=step)
+    with BatchingDetector(det, batch_size=2, max_wait_ms=5.0,
+                          batch_buckets=(1,)) as bd:
+        bd.warmup()
+        srv = make_http_server(bd, host="127.0.0.1", port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        hp = srv.server_address[1]
+        rng = np.random.default_rng(proc_id)
+        im = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        ok, enc = cv2.imencode(".png", im[:, :, ::-1])
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{hp}/detect", data=enc.tobytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            body = r.read()
+        assert b"boxes" in body
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{hp}/healthz", timeout=60) as r:
+            assert r.status == 200
+        srv.shutdown()
+        srv.server_close()
+    print(f"SERVE_OK rank={proc_id}", flush=True)
+""")
+
+
+def test_multihost_serve_smoke(tmp_path):
+    """Serving inside a 2-process cluster (VERDICT r4 item 7): each rank
+    runs its own BatchingDetector + HTTP server (per-host serving behind
+    a load balancer — serving is data-parallel across hosts) and answers
+    a real POST /detect while the cluster is up."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(SERVE_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"SERVE_OK rank={i}" in out

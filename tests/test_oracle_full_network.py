@@ -580,3 +580,235 @@ def test_faster_rcnn_ap_score_matches_torch(tmp_path):
     for key in ("AP", "AP50"):
         assert stats_torch[key] == pytest.approx(stats_ours[key], abs=2e-3), \
             (key, stats_torch[key], stats_ours[key])
+
+
+def _yolo_cross_stack_ap_case(tmp_path, *, hw, size, multi_label):
+    """Shared driver for the regime-parametrized YOLO AP oracle (VERDICT
+    r4 item 5): same protocol as test_yolov5s_ap_score_matches_torch —
+    self-consistent GT mined from our dets, AP equality + det multiset vs
+    the independent torch stack — at configurable image aspect ratio,
+    eval size, and multi_label mode. Pins the letterbox inverse at
+    extreme aspect ratios (2000-px-wide originals shrink 15.6x through
+    the inverse), a second eval-grid size, and the multilabel_candidates
+    path, exactly the tenth-of-a-point hazards SURVEY §7 names."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import cv2
+    from torch_refs import batched_nms_numpy
+
+    from heltondetection_tpu.configs.base import DataConfig
+    from heltondetection_tpu.data.augment import EvalPipeline
+    from heltondetection_tpu.data.loader import EvalLoader
+    from heltondetection_tpu.engine.evaluator import (Evaluator,
+                                                      make_packed_serve_step)
+    from heltondetection_tpu.engine.runner import build_dataset
+    from heltondetection_tpu.utils.cocoeval import DetEval
+
+    nc = 4
+    conf, iou_t, max_det = 0.35, 0.65, 50
+    h0, w0 = hw
+    rng_img = np.random.default_rng(11)
+    imgs = str(tmp_path / "images")
+    os.makedirs(imgs, exist_ok=True)
+    images = []
+    for i in range(8):
+        im = rng_img.integers(0, 255, (h0, w0, 3)).astype(np.uint8)
+        cv2.imwrite(f"{imgs}/img_{i:04d}.png", im[:, :, ::-1])
+        images.append({"id": i + 1, "file_name": f"img_{i:04d}.png",
+                       "height": h0, "width": w0})
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": images, "annotations": [],
+                   "categories": [{"id": c + 10, "name": f"class{c}"}
+                                  for c in range(nc)]}, f)
+
+    sd = _make_ultralytics_sd("s", nc=nc, seed=13)
+    # spread the obj/cls score channels (×4) but SHRINK the box channels
+    # (×0.1): raw random-init box logits are large, so (2σ)² wh decode
+    # saturates into giant everything-overlaps boxes whose pairwise-IoU
+    # distribution is dense around the NMS threshold — and the packed
+    # path's bf16 candidate rows carry ~0.4% coordinate noise, so dense-
+    # at-threshold IoU means cascading cross-stack suppression flips.
+    # Shrunk logits keep σ(z)≈0.5: anchor-shaped, grid-localized boxes
+    # with a bimodal IoU distribution (high for neighbors, ~0 otherwise).
+    for k, t in sd.items():
+        if k.startswith("model.24.m."):
+            t = t.clone()
+            per = 5 + nc
+            for a in range(3):
+                t[a * per:a * per + 4] *= 0.1
+                t[a * per + 4:(a + 1) * per] *= 4.0
+            sd[k] = t
+    net = TorchYOLOv5(nc=nc, depth_multiple=0.33, width_multiple=0.50)
+    load_ultralytics_state_dict(net, sd)
+    net.eval()
+    params, stats = convert_yolov5(sd, depth_multiple=0.33)
+    variables = {"params": _to_jnp(params), "batch_stats": _to_jnp(stats)}
+    model = build_yolov5("s", nc)
+
+    def run_ours(ds):
+        det = DetEval(nc)
+        ds.gt_for_eval(det)
+        step = make_packed_serve_step(model, variables, nc, conf_thres=conf,
+                                      iou_thres=iou_t, max_det=max_det,
+                                      multi_label=multi_label)
+        ev = Evaluator(None, nc, step_fn=step)
+        with EvalLoader(EvalPipeline(ds, size), 4, num_workers=0) as loader:
+            stats_ = ev.run(loader, det_eval=det)
+        assert stats_["num_images"] == len(ds)
+        return det, stats_
+
+    # pass 1: mine GT from our dets. The ≥8 MODEL-space-px floor becomes
+    # ≥8/scale original px (the letterbox inverse magnifies cross-stack
+    # sub-pixel noise by 1/scale; IoU robustness must be judged in model
+    # space where the noise lives).
+    scale = size / max(h0, w0)
+    min_px = 8.0 / scale
+    ds = build_dataset(DataConfig(format="coco", val_ann=ann, val_imgs=imgs),
+                       "val")
+    det_pass1, _ = run_ours(ds)
+    per_img = {}
+    for (img_id, cat), lst in det_pass1._dts.items():
+        for box, score in lst:
+            per_img.setdefault(img_id, []).append((score, cat, box))
+    with open(ann, "r") as f:
+        coco = json.load(f)
+    coco["annotations"] = []
+    aid = 1
+    for img_id, lst in per_img.items():
+        lst.sort(key=lambda t: -t[0])
+        for score, cat, box in lst[:4]:
+            x, y, w, h = (float(v) for v in box)
+            if w < min_px or h < min_px:
+                continue
+            coco["annotations"].append(
+                {"id": aid, "image_id": img_id, "category_id": cat + 10,
+                 "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+            aid += 1
+    assert aid > 8
+    with open(ann, "w") as f:
+        json.dump(coco, f)
+
+    ds = build_dataset(DataConfig(format="coco", val_ann=ann, val_imgs=imgs),
+                       "val")
+    det_ours, stats_ours = run_ours(ds)
+
+    # torch stack (multi_label mirrors evaluator.multilabel_candidates:
+    # every (box, class) pair with obj*cls_c > conf is a candidate)
+    det_t = DetEval(nc)
+    ds.gt_for_eval(det_t)
+    torch_dets = {}
+    with EvalLoader(EvalPipeline(ds, size), 4, num_workers=0) as loader:
+        for batch in loader:
+            x = np.asarray(batch["image"], np.float32) / 255.0
+            with torch.no_grad():
+                raw = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            # Mirror the packed serve path's EXACT candidate semantics
+            # (ops/postprocess.fused_select_decode_packed): stage 1 ranks
+            # the top-1024 anchors by σ(obj) ALONE in f32 (at eval sizes
+            # ≥192 the 2268-anchor count exceeds the cap, so ranking
+            # semantics decide the candidate SET); the gathered class/box
+            # logit rows are bf16 (σ taken in f32), so boxes and pair
+            # scores must round through bf16 on this side too — decoding
+            # f32 here leaves ~0.4% coordinate noise that flips
+            # near-threshold NMS pairs.
+            raw_bf = [r.to(torch.bfloat16).to(torch.float32) for r in raw]
+            _, obj_f, _ = yolo_decode_torch(raw, nc, YOLOV5_ANCHORS,
+                                            YOLOV5_STRIDES)
+            bbox_q, _, cls_q = yolo_decode_torch(raw_bf, nc, YOLOV5_ANCHORS,
+                                                 YOLOV5_STRIDES)
+            for i, img_id in enumerate(batch["img_id"]):
+                if img_id is None:
+                    continue
+                order = np.argsort(-obj_f[i], kind="stable")[:1024]
+                obj_s = obj_f[i][order]
+                cls_s = cls_q[i][order]
+                bbox_s = bbox_q[i][order]
+                if multi_label:
+                    conf_mat = obj_s[:, None] * cls_s
+                    bi, ci = np.nonzero(conf_mat > conf)
+                    b = bbox_s[bi]
+                    s = conf_mat[bi, ci]
+                    c = ci.astype(np.int64)
+                else:
+                    s_all = obj_s * cls_s.max(-1)
+                    cid = cls_s.argmax(-1).astype(np.int64)
+                    m = s_all > conf
+                    b, s, c = bbox_s[m], s_all[m], cid[m]
+                pair_cap = np.argsort(-s, kind="stable")[:1024]
+                b, s, c = b[pair_cap], s[pair_cap], c[pair_cap]
+                keep = batched_nms_numpy(b, s, c, iou_t)[:max_det]
+                b, s, c = b[keep], s[keep], c[keep]
+                sc = float(batch["scale"][i])
+                px, py = float(batch["pad_x"][i]), float(batch["pad_y"][i])
+                oh, ow = (float(v) for v in batch["orig_hw"][i])
+                x1 = np.clip((b[:, 0] - px) / sc, 0, ow)
+                y1 = np.clip((b[:, 1] - py) / sc, 0, oh)
+                x2 = np.clip((b[:, 2] - px) / sc, 0, ow)
+                y2 = np.clip((b[:, 3] - py) / sc, 0, oh)
+                xywh = np.stack([x1, y1, x2 - x1, y2 - y1], 1)
+                det_t.add_det(img_id, xywh, s, c)
+                for j in range(len(s)):
+                    torch_dets.setdefault(img_id, []).append(
+                        (float(s[j]), int(c[j]), xywh[j]))
+    stats_torch = det_t.summarize()
+
+    # Det-multiset comparison with a BOUNDED boundary-flip allowance: the
+    # production packed path gathers candidate rows in bf16, so a pair
+    # whose IoU sits within ~1e-3 of the NMS threshold can legitimately
+    # suppress in one stack and survive in the other (verified by hand on
+    # the size-192 seed: the lone diverging det had IoU 0.6496 vs the
+    # kept top det at iou_t=0.65). These extended regimes have thousands
+    # of candidate pairs, so a handful of flips is expected noise — a
+    # REAL letterbox-inverse/grid/multilabel bug misplaces every box and
+    # fails the 98% twin-match and the AP bound by orders of magnitude.
+    ours_dets = {}
+    for (img_id, cat), lst in det_ours._dts.items():
+        for box, score in lst:
+            ours_dets.setdefault(img_id, []).append((score, cat, box))
+    n_total, n_unmatched = 0, 0
+    box_tol = 0.5 / scale       # 0.5 model px, in original coords
+    all_ids = set(ours_dets) | set(torch_dets)
+    for img_id in all_ids:
+        a = ours_dets.get(img_id, [])
+        b = list(torch_dets.get(img_id, []))
+        n_total += max(len(a), len(b))
+        for sa, ca, ba in a:
+            hit = None
+            for j, (sb, cb, bb) in enumerate(b):
+                if (cb == ca and abs(sb - sa) < 2e-3
+                        and np.abs(np.asarray(bb) - np.asarray(ba)).max()
+                        < box_tol):
+                    hit = j
+                    break
+            if hit is None:
+                n_unmatched += 1
+            else:
+                b.pop(hit)
+        n_unmatched += len(b)           # torch dets with no twin of ours
+    assert n_total > 30
+    allowance = max(2, int(np.ceil(0.02 * n_total)))
+    assert n_unmatched <= allowance, (n_unmatched, allowance, n_total)
+
+    ap_tol = 2e-3 if n_unmatched == 0 else 1.5e-2
+    print(f"regime hw={hw} size={size} ml={multi_label}: "
+          f"AP ours={stats_ours['AP']:.6f} torch={stats_torch['AP']:.6f} "
+          f"n_dets={n_total} unmatched={n_unmatched}")
+    assert stats_ours["AP"] > 0.3
+    for key in ("AP", "AP50"):
+        assert stats_torch[key] == pytest.approx(stats_ours[key],
+                                                 abs=ap_tol), \
+            (key, stats_torch[key], stats_ours[key])
+
+
+@pytest.mark.parametrize("hw,size,multi_label", [
+    ((400, 2000), 128, False),      # extreme 5:1 aspect through letterbox
+    ((96, 128), 192, False),        # second eval-grid size
+    ((96, 128), 128, True),         # multilabel_candidates path
+    ((400, 2000), 192, True),       # composed: extreme AR + size + ml
+], ids=["ar2000", "size192", "multilabel", "ar2000_192_ml"])
+def test_yolo_ap_oracle_regimes(tmp_path, hw, size, multi_label):
+    _yolo_cross_stack_ap_case(tmp_path, hw=hw, size=size,
+                              multi_label=multi_label)

