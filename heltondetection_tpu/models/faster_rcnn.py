@@ -279,6 +279,10 @@ def generate_proposals(obj_logits: jnp.ndarray, deltas: jnp.ndarray,
     # fixpoint-NMS work (the RPN NMS was ~12 ms of the 91 ms 832² b8 batch).
     # Survivors ranked past rpn_post_nms_topk within their own level can
     # never make the joint top-k, so each level is capped there too.
+    # (r5 rejected design: vmap-batching the equal-k per-level NMS into
+    # one (4, k, k) fixpoint measured a WASH — 7.9 vs 7.3 ms for the
+    # whole proposals slice, within run noise; the sequential loop stays
+    # for simplicity. See PERF_NOTES "RPN stage attack".)
     boxes_all, scores_all = [], []
     start = 0
     for lvl, cnt in enumerate(level_counts):
@@ -431,12 +435,9 @@ def smooth_l1(x: jnp.ndarray, beta: float = 1.0 / 9.0) -> jnp.ndarray:
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
 
-def rpn_loss(obj_logits, deltas, anchors, gt_boxes, gt_mask, cfg, rng):
-    """Per-image RPN loss (vmap over batch outside)."""
-    anchors = jnp.asarray(anchors)
-    idx, is_fg, valid, matched = assign_rpn_targets(anchors, gt_boxes,
-                                                    gt_mask, cfg, rng)
-    logits = obj_logits[idx]
+def _rpn_loss_body(logits, reg, anchors, idx, is_fg, valid, matched,
+                   gt_boxes):
+    """Shared RPN loss math given the SAMPLED logits/deltas (K,)/(K,4)."""
     vf = valid.astype(jnp.float32)
     n = jnp.maximum(vf.sum(), 1.0)
     tgt = is_fg.astype(jnp.float32)
@@ -445,8 +446,98 @@ def rpn_loss(obj_logits, deltas, anchors, gt_boxes, gt_mask, cfg, rng):
     l_obj = (obj_l * vf).sum() / n
     reg_t = encode_deltas(anchors[idx], gt_boxes[matched])
     fgf = (is_fg & valid).astype(jnp.float32)
-    l_reg = (smooth_l1(deltas[idx] - reg_t).sum(-1) * fgf).sum() / n
+    l_reg = (smooth_l1(reg - reg_t).sum(-1) * fgf).sum() / n
     return l_obj, l_reg
+
+
+def rpn_loss(obj_logits, deltas, anchors, gt_boxes, gt_mask, cfg, rng):
+    """Per-image RPN loss (vmap over batch outside) — dense-gather form."""
+    anchors = jnp.asarray(anchors)
+    idx, is_fg, valid, matched = assign_rpn_targets(anchors, gt_boxes,
+                                                    gt_mask, cfg, rng)
+    return _rpn_loss_body(obj_logits[idx], deltas[idx], anchors, idx,
+                          is_fg, valid, matched, gt_boxes)
+
+
+def rpn_logits_at(rpn_params, pyr, idx, level_hw, dtype=jnp.float32):
+    """Recompute the RPN head's (obj (K,), deltas (K,4)) at ``idx`` (flat
+    all-level anchor indices of ONE image) from gathered 3x3 feature
+    patches — the exact math of the dense head restricted to the sampled
+    positions.
+
+    Why: the train loss reads only rpn_batch (256) of the ~173k dense
+    positions, but gathering from the dense maps makes XLA backprop the
+    full 3x3x256x256 conv over every level (~9 ms of the 832² b8 step —
+    >60% of the RPN head's fwd+bwd cost, for a 0.15% utilization of its
+    output gradient). Recomputing the sampled logits from patches keeps
+    the dense maps under stop_gradient (proposals need values only), so
+    the backward is a 9-row-gather matmul + row scatter into the pyramid
+    cotangent — row-count-bound at K rows, like ops/roi_align.py.
+
+    ``pyr``: per-level (H, W, C) features of one image (grads flow);
+    ``level_hw``: static (H, W) per level. SAME zero padding is realized
+    by masking out-of-bounds taps.
+    """
+    c = pyr[0].shape[-1]
+    a_per = A_PER_CELL
+    hws = [int(h) * int(w) for h, w in level_hw]
+    bounds = [0]
+    for hw in hws:
+        bounds.append(bounds[-1] + hw * a_per)
+    row_base = [0]
+    for hw in hws[:-1]:
+        row_base.append(row_base[-1] + hw)
+    flat = jnp.concatenate([p.reshape(-1, c) for p in pyr], axis=0)
+    lvl = jnp.sum(idx[:, None] >= jnp.asarray(bounds[1:-1])[None, :],
+                  axis=1)
+    pos = idx - jnp.asarray(bounds[:-1])[lvl]
+    cell = pos // a_per
+    a_idx = pos % a_per
+    hs = jnp.asarray([h for h, _ in level_hw])[lvl]
+    ws = jnp.asarray([w for _, w in level_hw])[lvl]
+    y = cell // ws
+    x = cell % ws
+    base = jnp.asarray(row_base)[lvl]
+    taps = []
+    for dy in (-1, 0, 1):                   # (kh, kw) row-major == HWIO
+        for dx in (-1, 0, 1):
+            yy, xx = y + dy, x + dx
+            ok = (yy >= 0) & (yy < hs) & (xx >= 0) & (xx < ws)
+            row = base + jnp.clip(yy, 0, hs - 1) * ws + \
+                jnp.clip(xx, 0, ws - 1)
+            taps.append(jnp.where(ok[:, None], flat[row], 0))
+    patch = jnp.stack(taps, axis=1).reshape(idx.shape[0], 9 * c)
+    conv = rpn_params["conv"]
+    t = jnp.dot(patch.astype(dtype),
+                jnp.asarray(conv["kernel"]).reshape(9 * c, -1).astype(dtype),
+                preferred_element_type=jnp.float32)
+    t = nn.relu(t + jnp.asarray(conv["bias"])).astype(dtype)
+    cls_p, reg_p = rpn_params["cls"], rpn_params["reg"]
+    obj = (jnp.dot(t, jnp.asarray(cls_p["kernel"]).reshape(-1, a_per)
+                   .astype(dtype), preferred_element_type=jnp.float32)
+           + jnp.asarray(cls_p["bias"])).astype(jnp.float32)
+    reg = (jnp.dot(t, jnp.asarray(reg_p["kernel"]).reshape(-1, a_per * 4)
+                   .astype(dtype), preferred_element_type=jnp.float32)
+           + jnp.asarray(reg_p["bias"])).astype(jnp.float32)
+    obj_k = jnp.take_along_axis(obj, a_idx[:, None], axis=1)[:, 0]
+    reg_k = jnp.take_along_axis(reg.reshape(-1, a_per, 4),
+                                a_idx[:, None, None].repeat(4, -1),
+                                axis=1)[:, 0]
+    return obj_k, reg_k
+
+
+def rpn_loss_sparse(rpn_params, pyr_img, anchors, gt_boxes, gt_mask, cfg,
+                    rng, level_hw, dtype=jnp.float32):
+    """Per-image RPN loss with the sparse patch-recompute backward (see
+    :func:`rpn_logits_at`); numerically equal to :func:`rpn_loss` up to
+    conv-vs-matmul reduction order."""
+    anchors = jnp.asarray(anchors)
+    idx, is_fg, valid, matched = assign_rpn_targets(anchors, gt_boxes,
+                                                    gt_mask, cfg, rng)
+    obj_k, reg_k = rpn_logits_at(rpn_params, pyr_img, idx, level_hw,
+                                 dtype=dtype)
+    return _rpn_loss_body(obj_k, reg_k, anchors, idx, is_fg, valid,
+                          matched, gt_boxes)
 
 
 def box_head_loss(scores, deltas, labels, reg_targets, is_fg, valid):
@@ -488,13 +579,25 @@ def faster_rcnn_loss(model: FasterRCNN, variables, images, gt_boxes_xyxy,
     b = images.shape[0]
     rngs = jax.random.split(rng, 2 * b)
 
+    # proposals consume VALUES only (rois are stop-gradient'd below), and
+    # the RPN loss recomputes its 256 sampled logits from feature patches
+    # (rpn_logits_at) — so the dense obj/delta maps carry no gradient
+    # consumers and XLA drops the full-pyramid 3x3x256x256 conv backward
+    # (~9 ms of the 832² b8 step for 0.15% output-gradient utilization)
+    obj_sg = jax.lax.stop_gradient(obj)
+    deltas_sg = jax.lax.stop_gradient(deltas)
     props, pscores, pvalid = jax.vmap(
         lambda o, d: generate_proposals(o, d, anchors, counts,
-                                        cfg.img_size, cfg))(obj, deltas)
+                                        cfg.img_size, cfg))(obj_sg,
+                                                            deltas_sg)
 
+    level_hw = tuple((p.shape[1], p.shape[2]) for p in pyr)
+    rpn_params = variables["params"]["rpn"]
     l_obj, l_reg = jax.vmap(
-        lambda o, d, g, m, r: rpn_loss(o, d, anchors, g, m, cfg, r)
-    )(obj, deltas, gt_boxes_xyxy, gt_mask, rngs[:b])
+        lambda p, g, m, r: rpn_loss_sparse(
+            rpn_params, p, anchors, g, m, cfg, r, level_hw,
+            dtype=model.dtype)
+    )([p for p in pyr], gt_boxes_xyxy, gt_mask, rngs[:b])
 
     rois, labels, reg_t, is_fg, valid = jax.vmap(
         lambda p, pv, g, c, m, r: assign_box_targets(

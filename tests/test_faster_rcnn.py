@@ -215,3 +215,65 @@ def test_generate_proposals_fewer_candidates_than_post_topk():
                                         cfg.img_size, cfg))(obj, deltas)
     assert pb.shape == (cfg.rpn_post_nms_topk, 4)
     assert bool(pv.any())
+
+
+def test_rpn_logits_at_matches_dense(rcnn_setup):
+    """The sparse patch-recompute path (rpn_logits_at) must reproduce the
+    dense RPN head's gathered logits/deltas — same math restricted to the
+    sampled positions (conv-vs-matmul reduction order only)."""
+    import numpy as np
+
+    from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
+                                                        pyramid_anchors,
+                                                        rpn_logits_at)
+    cfg, model, variables = rcnn_setup
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    pyr, obj, deltas = model.apply(variables, x, False,
+                                   method=FasterRCNN.__call__)
+    anchors, counts = pyramid_anchors(cfg.img_size)
+    n = int(sum(counts))
+    rng = np.random.default_rng(3)
+    idx = jnp.asarray(np.sort(rng.choice(n, size=64, replace=False))
+                      .astype(np.int32))
+    level_hw = tuple((p.shape[1], p.shape[2]) for p in pyr)
+    obj_k, reg_k = rpn_logits_at(variables["params"]["rpn"],
+                                 [p[0] for p in pyr], idx, level_hw)
+    np.testing.assert_allclose(np.asarray(obj_k),
+                               np.asarray(obj[0])[np.asarray(idx)],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(reg_k),
+                               np.asarray(deltas[0])[np.asarray(idx)],
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_rpn_loss_sparse_matches_dense(rcnn_setup):
+    """Full per-image loss parity: rpn_loss_sparse == rpn_loss on the same
+    rng (same sampled rows, recomputed vs gathered logits)."""
+    import numpy as np
+
+    from heltondetection_tpu.models.faster_rcnn import (FasterRCNN,
+                                                        pyramid_anchors,
+                                                        rpn_loss,
+                                                        rpn_loss_sparse)
+    cfg, model, variables = rcnn_setup
+    x = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    pyr, obj, deltas = model.apply(variables, x, False,
+                                   method=FasterRCNN.__call__)
+    anchors, counts = pyramid_anchors(cfg.img_size)
+    rng = np.random.default_rng(5)
+    m = 8
+    x1 = rng.uniform(0, cfg.img_size - 24, (m, 2)).astype(np.float32)
+    wh = rng.uniform(8, 24, (m, 2)).astype(np.float32)
+    gt = jnp.asarray(np.concatenate([x1, x1 + wh], -1))
+    gt_mask = jnp.asarray(rng.uniform(0, 1, (m,)) < 0.8)
+    key = jax.random.PRNGKey(11)
+    lo_d, lr_d = rpn_loss(obj[0], deltas[0], anchors, gt, gt_mask, cfg,
+                          key)
+    level_hw = tuple((p.shape[1], p.shape[2]) for p in pyr)
+    lo_s, lr_s = rpn_loss_sparse(variables["params"]["rpn"],
+                                 [p[0] for p in pyr], anchors, gt,
+                                 gt_mask, cfg, key, level_hw)
+    np.testing.assert_allclose(float(lo_s), float(lo_d), rtol=1e-4)
+    np.testing.assert_allclose(float(lr_s), float(lr_d), rtol=1e-4)

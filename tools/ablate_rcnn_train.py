@@ -67,15 +67,22 @@ def partial_loss(stage):
             return total, ({"total": total}, new_vars["batch_stats"])
         b = images.shape[0]
         rngs = jax.random.split(rng, 2 * b)
+        # production path (faster_rcnn_loss): sparse patch-recompute RPN
+        # loss + stop-gradient dense maps (r5)
+        level_hw = tuple((p.shape[1], p.shape[2]) for p in pyr)
         l_obj, l_reg = jax.vmap(
-            lambda o, d, g, m, r: FR.rpn_loss(o, d, anchors, g, m, cfg, r)
-        )(obj, deltas, batch["gt_boxes_xyxy"], batch["gt_mask"], rngs[:b])
+            lambda p, g, m, r: FR.rpn_loss_sparse(
+                params["rpn"], p, anchors, g, m, cfg, r, level_hw,
+                dtype=model.dtype)
+        )([p for p in pyr], batch["gt_boxes_xyxy"], batch["gt_mask"],
+          rngs[:b])
         if stage == "C":
             total = l_obj.mean() + l_reg.mean()
             return total, ({"total": total}, new_vars["batch_stats"])
         props, pscores, pvalid = jax.vmap(
             lambda o, d: FR.generate_proposals(o, d, anchors, counts,
-                                               cfg.img_size, cfg))(obj, deltas)
+                                               cfg.img_size, cfg))(
+            jax.lax.stop_gradient(obj), jax.lax.stop_gradient(deltas))
         if stage == "D":
             total = (l_obj.mean() + l_reg.mean() +
                      jnp.mean(jax.lax.stop_gradient(props)) * 0.0 +
