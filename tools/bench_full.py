@@ -24,7 +24,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=1200):
+def _run(args, timeout=2400):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     try:
@@ -32,7 +32,11 @@ def _run(args, timeout=1200):
                            capture_output=True, text=True, timeout=timeout)
         return p.stdout + p.stderr
     except subprocess.TimeoutExpired as e:
-        return (e.stdout or "") + f"\nTIMEOUT after {timeout}s"
+        # TimeoutExpired.stdout is BYTES even under text=True
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        return out + f"\nTIMEOUT after {timeout}s"
 
 
 def _grab(out, pat):
